@@ -1,0 +1,53 @@
+"""High-level API: load → convert → spmv.
+
+The reference exposes five standalone executables with hard-coded
+filenames and no flags (``coo.c:18-19``); here the equivalent surface is a
+library call plus the ``spmv-tpu`` CLI (``spmv_tpu.cli``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from spmv_tpu.formats.cmrs import CMRSMatrix
+from spmv_tpu.formats.coo import COOMatrix
+from spmv_tpu.formats.csr import CSRMatrix
+from spmv_tpu.formats.ell import EllMatrix
+from spmv_tpu.formats.sell import SellMatrix
+
+__all__ = ["FORMATS", "from_coo", "load", "spmv"]
+
+FORMATS = {
+    "coo": COOMatrix,
+    "csr": CSRMatrix,
+    "ell": EllMatrix,
+    "sell": SellMatrix,
+    "sell_c_sigma": SellMatrix,
+    "cmrs": CMRSMatrix,
+}
+
+
+def from_coo(format: str, nrows: int, ncols: int, rows, cols, vals, **kwargs):
+    """Convert COO triplets to the named format's device representation."""
+    try:
+        cls = FORMATS[format.lower()]
+    except KeyError:
+        raise ValueError(f"unknown format {format!r}; choose from {sorted(FORMATS)}")
+    return cls.from_coo(nrows, ncols, np.asarray(rows), np.asarray(cols),
+                        np.asarray(vals), **kwargs)
+
+
+def load(path: str, format: str = "csr", *, synth: dict | None = None, **kwargs):
+    """Read a MatrixMarket file (or synthesize, if it is a git-LFS pointer —
+    as the reference's bundled matrices are, or missing) and convert.
+    ``synth`` kwargs go to :func:`spmv_tpu.synth.synthetic_cant`; the rest
+    to the format's ``from_coo``."""
+    from spmv_tpu.io.mmio import read_path_or_synthesize
+
+    info, rows, cols, vals = read_path_or_synthesize(path, **(synth or {}))
+    return from_coo(format, info.nrows, info.ncols, rows, cols, vals, **kwargs)
+
+
+def spmv(a, x):
+    """y = A @ x for any format container."""
+    return a.matvec(x)

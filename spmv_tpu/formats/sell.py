@@ -1,0 +1,132 @@
+"""SELL-C-σ — sliced ELLPACK with local row sorting.
+
+Reference: ``/root/reference/sigma_c.c`` + ``kernels/Sigma_C.cl``.  The
+reference implements only the C-slicing half (C=32, one wavefront per
+slice, ``sigma_c.c:48``) and delegates the σ-sort to an offline pre-sorted
+*file* (``cant-sorted.mtx``), never unpermuting the output.
+
+TPU-native version:
+* **C = 128** — the lane count, the TPU analog of the reference's
+  C = wavefront size; each slice is one y block.
+* **σ is real**: rows are sorted by descending length *within σ-row
+  windows* (default σ = 1024) at conversion, and the inverse permutation is
+  applied to y by a fused gather epilogue kernel (σ ≤ 1024 keeps every
+  output block's sources inside one 8-row window of the y' table — the
+  depth limit of the TPU sublane gather; see docs/DESIGN.md).
+* per-slice padded widths K_b drive engine 1's flat panel stream — the
+  column-major-within-slice packing of ``sigma_c.c:156-202`` becomes panel
+  packing, with calloc-style explicit zero padding (the one driver whose
+  padding the reference got right, ``sigma_c.c:153-154``).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from spmv_tpu.device import DevPanel, x_to_table, y_from_padded
+from spmv_tpu.formats.base import DEFAULT_CHUNK, LANES, build_panel_plan, cdiv
+from spmv_tpu.kernels.engines import inverse_permute_blocks, panel_spmv
+
+__all__ = ["SellMatrix", "DEFAULT_SIGMA"]
+
+DEFAULT_SIGMA = 1024  # rows per sorting window; ≤ 1024 (8×128 gather window)
+
+
+@dataclass
+class SellMatrix:
+    nrows: int
+    ncols: int
+    nnz: int
+    sigma: int
+    slice_widths: np.ndarray  # per-slice padded K (slices of C=128 rows)
+    dev: DevPanel = field(repr=False)
+    # permutation metadata for the y epilogue
+    _perm_whi: object = field(repr=False, default=None)  # jnp (NB,)
+    _perm_idx: object = field(repr=False, default=None)  # jnp (NB,128)
+
+    C = LANES
+
+    @classmethod
+    def from_coo(
+        cls,
+        nrows: int,
+        ncols: int,
+        rows: np.ndarray,
+        cols: np.ndarray,
+        vals: np.ndarray,
+        *,
+        sigma: int = DEFAULT_SIGMA,
+        chunk: int = DEFAULT_CHUNK,
+    ) -> "SellMatrix":
+        import jax.numpy as jnp
+
+        if sigma % LANES or sigma <= 0 or sigma > 1024:
+            raise ValueError("sigma must be a positive multiple of 128, ≤ 1024")
+        rows = np.asarray(rows, dtype=np.int64)
+        cols = np.asarray(cols)
+        vals = np.asarray(vals)
+
+        lengths = np.bincount(rows, minlength=nrows) if rows.size else np.zeros(nrows, np.int64)
+        nrows_pad = cdiv(max(nrows, 1), sigma) * sigma
+        lengths_pad = np.zeros(nrows_pad, dtype=np.int64)
+        lengths_pad[:nrows] = lengths
+
+        # σ-sort: within each σ-row window, stable-sort rows by desc length.
+        win = lengths_pad.reshape(-1, sigma)
+        order_in_win = np.argsort(-win, axis=1, kind="stable")
+        base = (np.arange(win.shape[0], dtype=np.int64) * sigma)[:, None]
+        perm = (base + order_in_win).reshape(-1)  # perm[sorted_pos] = orig row
+        invperm = np.empty_like(perm)
+        invperm[perm] = np.arange(nrows_pad, dtype=np.int64)
+
+        rows_sorted = invperm[rows]  # relabel rows into sorted space
+        order = np.lexsort((cols, rows_sorted))
+        rows_s = rows_sorted[order]
+        cols_s, vals_s = cols[order], vals[order]
+
+        # Per-slice (128-row block) padded width from sorted lengths.
+        nblocks = nrows_pad // LANES
+        slens = lengths_pad[perm].reshape(nblocks, LANES)
+        slice_widths = slens.max(axis=1)
+        block_width = np.maximum(slice_widths, 1)
+
+        plan = build_panel_plan(
+            block_width, rows_s, cols_s, vals_s, nrows_pad, ncols, chunk=chunk
+        )
+
+        # Epilogue metadata: output block g reads y'[invperm[128g : 128g+128]],
+        # all within the σ-window containing those rows.  Padded to a
+        # multiple of the epilogue's 8-blocks-per-step granularity.
+        idx = invperm.reshape(nblocks, LANES).astype(np.int32)
+        whi = ((np.arange(nblocks, dtype=np.int64) * LANES) // sigma * sigma) // LANES
+        whi = np.minimum(whi, max(nblocks - 8, 0)).astype(np.int32)
+        nbp = cdiv(nblocks, 8) * 8
+        idx = np.vstack([idx, np.zeros((nbp - nblocks, LANES), np.int32)])
+        whi = np.concatenate([whi, np.zeros(nbp - nblocks, np.int32)])
+
+        return cls(
+            nrows=nrows, ncols=ncols, nnz=rows.size, sigma=sigma,
+            slice_widths=slice_widths, dev=DevPanel.from_plan(plan),
+            _perm_whi=jnp.asarray(whi), _perm_idx=jnp.asarray(idx),
+        )
+
+    def padded_matvec(self, x2d):
+        d = self.dev
+        y_sorted = panel_spmv(
+            d.vals, d.cols, d.sub_block, d.sub_wrow, x2d,
+            window_rows=d.window_rows, chunk=d.chunk, out_blocks=d.out_blocks,
+        )
+        nb = d.out_blocks
+        y2 = y_sorted.reshape(nb, LANES)
+        if nb < 8:  # epilogue windows always slice 8 table rows
+            import jax.numpy as jnp
+            y2 = jnp.pad(y2, ((0, 8 - nb), (0, 0)))
+        return inverse_permute_blocks(self._perm_whi, self._perm_idx, y2)
+
+    def matvec(self, x):
+        x2d = x_to_table(x, self.ncols, self.dev.window_rows)
+        return y_from_padded(self.padded_matvec(x2d), self.nrows)
+
+    __matmul__ = matvec

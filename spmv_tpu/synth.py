@@ -1,0 +1,162 @@
+"""Deterministic synthetic sparse matrices.
+
+The reference benchmarks against SuiteSparse Boeing/cant
+(``/root/reference/databases/cant.mtx``), which ships only as a git-LFS
+pointer.  These generators produce structurally similar matrices (FEM-style
+banded, ~64 nnz/row) plus adversarial edge-case matrices covering exactly
+the patterns where the reference harbors latent bugs (empty rows, trailing
+longest row, rows % C != 0 — SURVEY.md §2.2).
+
+All generators return ``(info, rows, cols, vals)`` in the same shape as
+``spmv_tpu.io.mmio.read_coo`` so they are drop-in file substitutes.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from spmv_tpu.io.mmio import MMInfo
+
+__all__ = ["synthetic_cant", "random_coo", "EDGE_CASES", "edge_case"]
+
+
+def _as_result(nrows, ncols, rows, cols, vals, index_dtype=np.int32, dtype=np.float64):
+    order = np.lexsort((cols, rows))
+    rows = np.ascontiguousarray(rows[order], dtype=index_dtype)
+    cols = np.ascontiguousarray(cols[order], dtype=index_dtype)
+    vals = np.ascontiguousarray(vals[order], dtype=dtype)
+    info = MMInfo("matrix", "coordinate", "real", "general", nrows, ncols, rows.size)
+    return info, rows, cols, vals
+
+
+def synthetic_cant(
+    n: int = 62_451,
+    avg_nnz_per_row: int = 64,
+    bandwidth: int = 350,
+    seed: int = 0,
+    *,
+    sorted_by_row_length: bool = False,
+    index_dtype=np.int32,
+    dtype=np.float64,
+):
+    """A cant-like FEM band matrix: ``n`` rows, per-row nnz varying around
+    ``avg_nnz_per_row`` (cant: ~4.0M nnz over 62,451 rows ≈ 64/row), columns
+    clustered in a band of ±``bandwidth`` around the diagonal.
+
+    ``sorted_by_row_length=True`` mimics ``cant-sorted.mtx`` (rows reordered
+    by descending length, the offline σ-sort the reference relies on,
+    SURVEY.md §2.2 SELL-C-σ).
+    """
+    rng = np.random.default_rng(seed)
+    # Per-row lengths: tri-modal like FEM matrices (interior/edge/corner dofs).
+    mode = rng.choice(3, size=n, p=[0.75, 0.2, 0.05])
+    base = np.array([avg_nnz_per_row + 14, avg_nnz_per_row - 26, 10])[mode]
+    lengths = np.maximum(1, base + rng.integers(-4, 5, size=n))
+    lengths = np.minimum(lengths, min(n, 2 * bandwidth))
+
+    if sorted_by_row_length:
+        lengths = np.sort(lengths)[::-1].copy()
+
+    total = int(lengths.sum())
+    rows = np.repeat(np.arange(n, dtype=np.int64), lengths)
+    # Clustered band columns: offsets in [-bandwidth, bandwidth] around diag.
+    offs = rng.integers(-bandwidth, bandwidth + 1, size=total)
+    cols = np.clip(rows + offs, 0, n - 1)
+    # Dedup within row to keep the format converters honest about true nnz.
+    key = rows * np.int64(n) + cols
+    _, keep = np.unique(key, return_index=True)
+    rows, cols = rows[keep], cols[keep]
+    vals = rng.standard_normal(rows.size)
+    return _as_result(n, n, rows, cols, vals, index_dtype, dtype)
+
+
+def random_coo(
+    nrows: int,
+    ncols: int,
+    nnz: int,
+    seed: int = 0,
+    *,
+    allow_duplicates: bool = False,
+    index_dtype=np.int32,
+    dtype=np.float64,
+):
+    """Uniform random COO; with ``allow_duplicates`` the triplets may repeat
+    (duplicates sum, as in raw MatrixMarket semantics)."""
+    rng = np.random.default_rng(seed)
+    rows = rng.integers(0, nrows, size=nnz)
+    cols = rng.integers(0, ncols, size=nnz)
+    if not allow_duplicates:
+        key = rows * np.int64(ncols) + cols
+        _, keep = np.unique(key, return_index=True)
+        rows, cols = rows[keep], cols[keep]
+    vals = rng.standard_normal(rows.size)
+    return _as_result(nrows, ncols, rows, cols, vals, index_dtype, dtype)
+
+
+def _empty_rows(seed=0):
+    # Rows 0, 3, 7 empty; row 9 (last) is the longest — both reference bugs.
+    rows = np.array([1, 1, 1, 2, 4, 5, 5, 6, 8, 9, 9, 9, 9, 9])
+    cols = np.array([0, 4, 9, 2, 4, 1, 8, 6, 3, 0, 2, 5, 7, 9])
+    vals = np.linspace(1.0, 2.3, rows.size)
+    return _as_result(10, 10, rows, cols, vals)
+
+
+def _single_row(seed=0):
+    cols = np.arange(7)
+    return _as_result(1, 7, np.zeros(7, np.int64), cols, np.arange(1.0, 8.0))
+
+
+def _single_col(seed=0):
+    rows = np.arange(7)
+    return _as_result(7, 1, rows, np.zeros(7, np.int64), np.arange(1.0, 8.0))
+
+
+def _ragged(seed=0):
+    # Wildly varying row lengths; nrows=13 (prime, not divisible by C=8 or
+    # height=8 — the reference CMRS OOB case, SURVEY.md §2.2 CMRS).
+    rng = np.random.default_rng(seed)
+    lengths = np.array([1, 40, 2, 0, 0, 13, 1, 1, 40, 5, 0, 2, 39])
+    n = 13
+    rows = np.repeat(np.arange(n), lengths)
+    cols = np.concatenate([rng.choice(41, size=l, replace=False) for l in lengths if l]) if lengths.sum() else np.array([], np.int64)
+    vals = rng.standard_normal(rows.size)
+    return _as_result(13, 41, rows, cols, vals)
+
+
+def _all_empty(seed=0):
+    z = np.array([], dtype=np.int64)
+    return _as_result(5, 5, z, z, z.astype(np.float64))
+
+
+def _dense_small(seed=0):
+    n = 9
+    rows, cols = np.divmod(np.arange(n * n), n)
+    rng = np.random.default_rng(seed)
+    return _as_result(n, n, rows, cols, rng.standard_normal(n * n))
+
+
+def _one_element(seed=0):
+    return _as_result(
+        3, 4, np.array([2]), np.array([3]), np.array([5.5])
+    )
+
+
+def _rectangular(seed=0):
+    rng = np.random.default_rng(seed)
+    return random_coo(17, 33, 120, seed=seed + 1)
+
+
+EDGE_CASES = {
+    "empty_rows": _empty_rows,
+    "single_row": _single_row,
+    "single_col": _single_col,
+    "ragged": _ragged,
+    "all_empty": _all_empty,
+    "dense_small": _dense_small,
+    "one_element": _one_element,
+    "rectangular": _rectangular,
+}
+
+
+def edge_case(name: str, seed: int = 0):
+    return EDGE_CASES[name](seed)

@@ -1,0 +1,137 @@
+"""Every format kernel vs the golden oracle — the reference's
+check_result discipline (helper_functions.h:184-236) plus the edge cases
+where the reference harbors latent bugs (SURVEY.md §2.2)."""
+
+import numpy as np
+import pytest
+
+import spmv_tpu
+from spmv_tpu import synth
+from spmv_tpu.oracle import check_result, fp32_rel_tol, golden_spmv
+
+FORMATS = ["coo", "csr", "ell", "sell", "cmrs"]
+EDGES = sorted(synth.EDGE_CASES)
+
+
+def run_format(fmt, info, r, c, v, x=None):
+    rng = np.random.default_rng(99)
+    if x is None:
+        x = rng.standard_normal(info.ncols)
+    a = spmv_tpu.from_coo(fmt, info.nrows, info.ncols, r, c, v)
+    y = np.asarray(a.matvec(x.astype(np.float32)))
+    assert y.shape == (info.nrows,)
+    expected = golden_spmv(info.nrows, r, c, v, x.astype(np.float32))
+    scale = golden_spmv(info.nrows, r, c, np.abs(v), np.abs(x.astype(np.float32)))
+    lengths = np.bincount(r, minlength=info.nrows) if r.size else np.zeros(1)
+    rep = check_result(
+        expected, y, tol_abs=1e-5, scale=scale,
+        tol_rel=fp32_rel_tol(int(lengths.max() or 1)),
+    )
+    assert rep.ok, f"{fmt}: {rep}"
+    return a
+
+
+@pytest.mark.parametrize("fmt", FORMATS)
+@pytest.mark.parametrize("edge", EDGES)
+def test_edge_cases(fmt, edge):
+    info, r, c, v = synth.edge_case(edge)
+    run_format(fmt, info, r, c, v)
+
+
+@pytest.mark.parametrize("fmt", FORMATS)
+def test_random_medium(fmt):
+    info, r, c, v = synth.random_coo(500, 300, 4000, seed=3)
+    run_format(fmt, info, r, c, v)
+
+
+@pytest.mark.parametrize("fmt", FORMATS)
+def test_band_matrix(fmt):
+    info, r, c, v = synth.synthetic_cant(n=1024, avg_nnz_per_row=16,
+                                         bandwidth=60, seed=5)
+    run_format(fmt, info, r, c, v)
+
+
+@pytest.mark.parametrize("fmt", FORMATS)
+def test_reference_x_vector(fmt):
+    # The reference uses x[i] = i (coo.c:88-92).
+    info, r, c, v = synth.random_coo(200, 200, 1500, seed=11)
+    x = spmv_tpu.default_x(info.ncols)
+    run_format(fmt, info, r, c, v, x=x)
+
+
+def test_coo_duplicates_sum():
+    r = np.array([1, 1, 0])
+    c = np.array([2, 2, 0])
+    v = np.array([3.0, 4.0, 1.0])
+    a = spmv_tpu.from_coo("coo", 3, 3, r, c, v)
+    y = np.asarray(a.matvec(np.array([1.0, 1.0, 2.0], np.float32)))
+    np.testing.assert_allclose(y, [1.0, 14.0, 0.0], atol=1e-5)
+
+
+def test_coo_unsorted_input():
+    rng = np.random.default_rng(0)
+    n, nnz = 100, 600
+    r = rng.integers(0, n, nnz)
+    c = rng.integers(0, n, nnz)
+    v = rng.standard_normal(nnz)
+    x = rng.standard_normal(n).astype(np.float32)
+    a = spmv_tpu.from_coo("coo", n, n, r, c, v)
+    rep = check_result(golden_spmv(n, r, c, v, x), np.asarray(a.matvec(x)),
+                       tol_abs=1e-4, tol_rel=1e-4)
+    assert rep.ok, str(rep)
+
+
+def test_csr_from_csr_roundtrip():
+    info, r, c, v = synth.edge_case("empty_rows")
+    a = spmv_tpu.CSRMatrix.from_coo(info.nrows, info.ncols, r, c, v)
+    # ptr correct also for empty rows (reference bug: csr.c:72-91)
+    lengths = np.bincount(r, minlength=info.nrows)
+    np.testing.assert_array_equal(np.diff(a.ptr), lengths)
+    b = spmv_tpu.CSRMatrix.from_csr(info.nrows, info.ncols, a.ptr, a.cols, a.vals)
+    x = np.arange(info.ncols, dtype=np.float32)
+    np.testing.assert_allclose(np.asarray(a.matvec(x)), np.asarray(b.matvec(x)))
+
+
+def test_ell_stats_include_last_row():
+    # Reference bug: final row's length never flushed (ell.c:89-100).
+    info, r, c, v = synth.edge_case("empty_rows")  # row 9 (last) is longest
+    a = spmv_tpu.EllMatrix.from_coo(info.nrows, info.ncols, r, c, v)
+    assert a.K == 5
+    assert a.row_length_stats["longest"] == 5
+    assert a.row_length_stats["shortest"] == 0
+
+
+def test_cmrs_format_arrays():
+    info, r, c, v = synth.edge_case("ragged")  # nrows=13, 13 % 8 != 0
+    a = spmv_tpu.CMRSMatrix.from_coo(info.nrows, info.ncols, r, c, v)
+    assert a.nstrips == 2
+    assert a.strip_ptr[-1] == info.nnz
+    assert (a.row_in_strip < a.height).all()
+    # from_cmrs path gives the same result
+    b = spmv_tpu.CMRSMatrix.from_cmrs(
+        info.nrows, info.ncols, a.strip_ptr, a.row_in_strip, a.cols, a.vals
+    )
+    x = np.random.default_rng(1).standard_normal(info.ncols).astype(np.float32)
+    np.testing.assert_allclose(np.asarray(a.matvec(x)), np.asarray(b.matvec(x)),
+                               atol=1e-5)
+
+
+def test_sell_sigma_variants():
+    info, r, c, v = synth.synthetic_cant(n=700, avg_nnz_per_row=12,
+                                         bandwidth=40, seed=9)
+    x = np.random.default_rng(2).standard_normal(info.ncols).astype(np.float32)
+    expected = golden_spmv(info.nrows, r, c, v, x)
+    for sigma in (128, 256, 1024):
+        a = spmv_tpu.SellMatrix.from_coo(info.nrows, info.ncols, r, c, v,
+                                         sigma=sigma)
+        rep = check_result(expected, np.asarray(a.matvec(x)),
+                           tol_abs=1e-5, tol_rel=1e-4)
+        assert rep.ok, f"sigma={sigma}: {rep}"
+
+
+def test_sell_padding_beats_ell_on_skewed():
+    info, r, c, v = synth.edge_case("ragged")
+    ell = spmv_tpu.EllMatrix.from_coo(info.nrows, info.ncols, r, c, v)
+    sell = spmv_tpu.SellMatrix.from_coo(info.nrows, info.ncols, r, c, v,
+                                        sigma=128)
+    assert sell.dev.vals.shape[0] <= ell.dev.vals.shape[0]

@@ -1,0 +1,132 @@
+import io
+
+import numpy as np
+import pytest
+
+from spmv_tpu.io import mmio
+
+
+def roundtrip(nrows, ncols, rows, cols, vals):
+    buf = io.StringIO()
+    mmio.write_coo(buf, nrows, ncols, rows, cols, vals, comment="test")
+    buf.seek(0)
+    return mmio.read_coo(io.StringIO(buf.getvalue()))
+
+
+def test_banner_and_sizes():
+    f = io.StringIO(
+        "%%MatrixMarket matrix coordinate real general\n"
+        "% a comment\n\n"
+        "3 4 2\n1 1 1.5\n3 4 -2.0\n"
+    )
+    info = mmio.read_banner(f)
+    assert (info.nrows, info.ncols, info.nnz) == (3, 4, 2)
+    assert info.field == "real" and not info.is_symmetric
+
+
+def test_bad_banner():
+    with pytest.raises(mmio.MMError):
+        mmio.read_banner(io.StringIO("%%NotMatrixMarket x y z w\n1 1 1\n"))
+    with pytest.raises(mmio.MMError):
+        mmio.read_banner(
+            io.StringIO("%%MatrixMarket matrix coordinate real bogus\n1 1 1\n")
+        )
+
+
+def test_roundtrip_real():
+    rows = np.array([0, 2, 2])
+    cols = np.array([1, 0, 3])
+    vals = np.array([1.5, -2.25, 3.125])
+    info, r, c, v = roundtrip(3, 4, rows, cols, vals)
+    assert (info.nrows, info.ncols, info.nnz) == (3, 4, 3)
+    np.testing.assert_array_equal(r, rows)
+    np.testing.assert_array_equal(c, cols)
+    np.testing.assert_allclose(v, vals)
+
+
+def test_pattern():
+    f = io.StringIO(
+        "%%MatrixMarket matrix coordinate pattern general\n2 2 2\n1 1\n2 2\n"
+    )
+    info, r, c, v = mmio.read_coo(f)
+    np.testing.assert_allclose(v, [1.0, 1.0])
+
+
+def test_symmetric_expansion():
+    f = io.StringIO(
+        "%%MatrixMarket matrix coordinate real symmetric\n"
+        "3 3 3\n1 1 2.0\n2 1 5.0\n3 2 7.0\n"
+    )
+    info, r, c, v = mmio.read_coo(f)
+    dense = np.zeros((3, 3))
+    dense[r, c] = v
+    np.testing.assert_allclose(dense, dense.T)
+    assert r.size == 5  # 3 stored + 2 mirrored off-diagonals
+
+
+def test_skew_symmetric():
+    f = io.StringIO(
+        "%%MatrixMarket matrix coordinate real skew-symmetric\n"
+        "3 3 2\n2 1 5.0\n3 2 7.0\n"
+    )
+    info, r, c, v = mmio.read_coo(f)
+    dense = np.zeros((3, 3))
+    dense[r, c] = v
+    np.testing.assert_allclose(dense, -dense.T)
+
+
+def test_integer_field():
+    f = io.StringIO(
+        "%%MatrixMarket matrix coordinate integer general\n2 2 2\n1 2 3\n2 1 -4\n"
+    )
+    _, r, c, v = mmio.read_coo(f)
+    np.testing.assert_allclose(v, [3.0, -4.0])
+
+
+def test_complex_real_part():
+    f = io.StringIO(
+        "%%MatrixMarket matrix coordinate complex general\n2 2 1\n1 1 3.0 4.0\n"
+    )
+    _, r, c, v = mmio.read_coo(f)
+    np.testing.assert_allclose(v, [3.0])
+    _, _, _, vc = mmio.read_coo(
+        io.StringIO(
+            "%%MatrixMarket matrix coordinate complex general\n2 2 1\n1 1 3.0 4.0\n"
+        ),
+        dtype=np.complex128,
+    )
+    np.testing.assert_allclose(vc, [3.0 + 4.0j])
+
+
+def test_out_of_bounds_rejected():
+    f = io.StringIO(
+        "%%MatrixMarket matrix coordinate real general\n2 2 1\n3 1 1.0\n"
+    )
+    with pytest.raises(mmio.MMError):
+        mmio.read_coo(f)
+
+
+def test_truncated_body():
+    f = io.StringIO("%%MatrixMarket matrix coordinate real general\n2 2 2\n1 1 1.0\n")
+    with pytest.raises(mmio.MMError):
+        mmio.read_coo(f)
+
+
+def test_dense_array():
+    f = io.StringIO(
+        "%%MatrixMarket matrix array real general\n2 3 \n1\n2\n3\n4\n5\n6\n"
+    )
+    info, a = mmio.read_dense(f)
+    # column-major storage
+    np.testing.assert_allclose(a, [[1, 3, 5], [2, 4, 6]])
+
+
+def test_file_roundtrip(tmp_path):
+    p = tmp_path / "m.mtx"
+    rows = np.array([0, 1, 4])
+    cols = np.array([2, 0, 4])
+    vals = np.array([1.0, 2.0, 3.0])
+    mmio.write_coo(str(p), 5, 5, rows, cols, vals)
+    info, r, c, v = mmio.read_coo(str(p))
+    np.testing.assert_array_equal(r, rows)
+    np.testing.assert_allclose(v, vals)
