@@ -1,0 +1,168 @@
+"""Benchmark harness.
+
+Replaces the reference's per-driver timing block (single run, no warm-up,
+``clock_gettime`` around one kernel enqueue, ``coo.c:193-199``) with an
+axon-proof protocol (docs/DESIGN.md §measured-facts):
+
+* ITERS chained SpMV iterations inside ONE jitted ``lax.fori_loop`` with a
+  data dependency (x ← y/|y|) — the tunnel caches identical dispatches and
+  ``block_until_ready`` does not force execution;
+* execution forced by fetching a scalar reduction of the result;
+* per-iteration time = slope between two iteration counts (subtracts the
+  ~25 ms dispatch round-trip);
+* best of ``repeats`` measurements.
+
+Reports both the reference-compatible metrics (GFLOP/s = 2·nnz/ms·1e-6 and
+the GB/s bounds of ``helper_functions.h:167-182``) and honest ones
+(effective GB/s counting index traffic and padding, % of measured HBM
+speed-of-light).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import asdict, dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from spmv_tpu.device import x_table_rows, x_to_table
+from spmv_tpu.formats.base import LANES
+
+__all__ = ["BenchResult", "bench_format", "measure_hbm_bw", "bytes_per_slot"]
+
+V5E_HBM_BW = 819e9  # spec fallback when the probe can't run
+
+
+@dataclass
+class BenchResult:
+    format: str
+    nrows: int
+    ncols: int
+    nnz: int
+    padded_slots: int
+    ms_per_spmv: float
+    gnnz_per_s: float  # true nnz / time
+    gflops: float  # reference formula: 2·nnz/ms·1e-6 (helper_functions.h:167)
+    gbps_lower: float  # nnz·8B/ms (helper_functions.h:175; fp64 values there)
+    gbps_upper: float  # 2·nnz·8B/ms
+    effective_gbps: float  # actual bytes moved (padding + index traffic)
+    roofline_pct: float  # effective_gbps / measured HBM bw
+    hbm_bw_gbps: float
+    bytes_per_nnz: float
+
+    def to_dict(self):
+        return asdict(self)
+
+
+def _fetch(o) -> float:
+    return float(jnp.sum(o))
+
+
+def _chained_loop(a, iters: int):
+    """One jitted function running `iters` chained SpMVs on padded forms."""
+    d = a.dev
+    S = x_table_rows(a.ncols, d.window_rows)
+
+    def body(i, x2d):
+        y = a.padded_matvec(x2d)  # (1, NB*128)
+        nrm = jax.lax.rsqrt(jnp.sum(y * y) + 1e-9)
+        yv = (y * nrm).reshape(-1)
+        need = S * LANES
+        if yv.shape[0] >= need:
+            yv = yv[:need]
+        else:
+            yv = jnp.pad(yv, (0, need - yv.shape[0]))
+        return yv.reshape(S, LANES)
+
+    @jax.jit
+    def loop(x2d):
+        return jax.lax.fori_loop(0, iters, body, x2d)
+
+    return loop
+
+
+def bench_format(
+    a,
+    format_name: str,
+    *,
+    iters_a: int = 50,
+    iters_b: int = 250,
+    repeats: int = 3,
+    hbm_bw: float | None = None,
+    x0: np.ndarray | None = None,
+) -> BenchResult:
+    if x0 is None:
+        rng = np.random.default_rng(0)
+        x0 = rng.standard_normal(a.ncols).astype(np.float32)
+    x2d = x_to_table(x0, a.ncols, a.dev.window_rows)
+
+    fa = _chained_loop(a, iters_a)
+    fb = _chained_loop(a, iters_b)
+    _fetch(fa(x2d))
+    _fetch(fb(x2d))  # compile + warm both
+    # Dispatch round-trip jitter is tens of ms; take the min of each point
+    # separately so the slope uses the cleanest observation of each.
+    ta = tb = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        _fetch(fa(x2d))
+        ta = min(ta, time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        _fetch(fb(x2d))
+        tb = min(tb, time.perf_counter() - t0)
+    t = max((tb - ta) / (iters_b - iters_a), 1e-9)
+
+    ms = t * 1e3
+    nnz = a.dev.nnz
+    padded = a.dev.vals.shape[0] * LANES
+    bpn = bytes_per_slot(a) * padded / max(nnz, 1)
+    eff_gbps = bpn * nnz / t / 1e9
+    bw = hbm_bw if hbm_bw else V5E_HBM_BW
+    return BenchResult(
+        format=format_name,
+        nrows=a.nrows,
+        ncols=a.ncols,
+        nnz=nnz,
+        padded_slots=padded,
+        ms_per_spmv=ms,
+        gnnz_per_s=nnz / t / 1e9,
+        gflops=2 * nnz / ms * 1e-6,
+        gbps_lower=nnz * 8 / ms * 1e-6 / 1e3,
+        gbps_upper=2 * nnz * 8 / ms * 1e-6 / 1e3,
+        effective_gbps=eff_gbps,
+        roofline_pct=100.0 * eff_gbps * 1e9 / bw,
+        hbm_bw_gbps=bw / 1e9,
+        bytes_per_nnz=bpn,
+    )
+
+
+def bytes_per_slot(a) -> float:
+    """HBM bytes streamed per padded slot (vals f32 + cols i32 [+ ends u8])."""
+    from spmv_tpu.device import DevSeg
+
+    return 9.0 if isinstance(a.dev, DevSeg) else 8.0
+
+
+def measure_hbm_bw(mb: int = 128, iters: int = 100) -> float:
+    """Serialized elementwise read+write probe → bytes/s.  The fori_loop
+    carry serializes iterations; each is exactly one read + one write pass
+    (2 × array bytes)."""
+    n = mb * 1024 * 1024 // 4
+    a = jnp.ones((n // LANES, LANES), jnp.float32)
+
+    def make(k):
+        @jax.jit
+        def loop(a):
+            return jax.lax.fori_loop(0, k, lambda i, a: a * 1.0000001, a)
+        return loop
+
+    loop1, loop2 = make(iters), make(2 * iters)
+    _fetch(loop1(a)); _fetch(loop2(a))
+    t1 = t2 = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter(); _fetch(loop1(a)); t1 = min(t1, time.perf_counter() - t0)
+        t0 = time.perf_counter(); _fetch(loop2(a)); t2 = min(t2, time.perf_counter() - t0)
+    per_iter = max((t2 - t1) / iters, 1e-9)
+    return 2 * n * 4 / per_iter
