@@ -1,0 +1,71 @@
+"""Multi-device SpMV on the 8-way CPU mesh (the reference has no
+distribution; this is BASELINE.json's scaling dimension)."""
+
+import numpy as np
+import pytest
+
+from spmv_tpu import synth
+from spmv_tpu.dist.mesh import make_mesh
+from spmv_tpu.dist.sharded import ColShardedSpmv, RowShardedSpmv
+from spmv_tpu.oracle import check_result, golden_spmv
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    import jax
+
+    assert len(jax.devices()) >= 8, "conftest must force 8 CPU devices"
+    return make_mesh(8)
+
+
+def _data(n=700, seed=4):
+    info, r, c, v = synth.synthetic_cant(n=n, avg_nnz_per_row=10,
+                                         bandwidth=50, seed=seed)
+    rng = np.random.default_rng(seed + 1)
+    x = rng.standard_normal(info.ncols).astype(np.float32)
+    return info, r, c, v, x
+
+
+@pytest.mark.parametrize("fmt", ["csr", "coo", "cmrs", "ell"])
+@pytest.mark.parametrize("gather_x", [True, False])
+def test_row_sharded(mesh, fmt, gather_x):
+    info, r, c, v, x = _data()
+    a = RowShardedSpmv(fmt, info.nrows, info.ncols, r, c, v, mesh,
+                       gather_x=gather_x)
+    y = np.asarray(a.matvec(x))
+    rep = check_result(golden_spmv(info.nrows, r, c, v, x), y,
+                       tol_abs=1e-4, tol_rel=1e-4,
+                       scale=golden_spmv(info.nrows, r, c, np.abs(v), np.abs(x)))
+    assert rep.ok, f"{fmt} gather_x={gather_x}: {rep}"
+
+
+@pytest.mark.parametrize("fmt", ["csr", "ell"])
+def test_col_sharded(mesh, fmt):
+    info, r, c, v, x = _data(n=900, seed=6)
+    a = ColShardedSpmv(fmt, info.nrows, info.ncols, r, c, v, mesh)
+    y = np.asarray(a.matvec(x))
+    rep = check_result(golden_spmv(info.nrows, r, c, v, x), y,
+                       tol_abs=1e-4, tol_rel=1e-4,
+                       scale=golden_spmv(info.nrows, r, c, np.abs(v), np.abs(x)))
+    assert rep.ok, f"{fmt}: {rep}"
+
+
+def test_row_sharded_matches_single_chip(mesh):
+    import spmv_tpu
+
+    info, r, c, v, x = _data(n=500, seed=8)
+    single = spmv_tpu.from_coo("csr", info.nrows, info.ncols, r, c, v)
+    multi = RowShardedSpmv("csr", info.nrows, info.ncols, r, c, v, mesh)
+    np.testing.assert_allclose(
+        np.asarray(single.matvec(x)), np.asarray(multi.matvec(x)),
+        atol=1e-4, rtol=1e-4)
+
+
+def test_mesh_smaller_than_devices(mesh):
+    info, r, c, v, x = _data(n=300, seed=2)
+    m2 = make_mesh(2)
+    a = RowShardedSpmv("cmrs", info.nrows, info.ncols, r, c, v, m2)
+    rep = check_result(golden_spmv(info.nrows, r, c, v, x),
+                       np.asarray(a.matvec(x)), tol_abs=1e-4, tol_rel=1e-4,
+                       scale=golden_spmv(info.nrows, r, c, np.abs(v), np.abs(x)))
+    assert rep.ok, str(rep)
