@@ -1,0 +1,175 @@
+"""Command-line interface.
+
+The reference ships five executables whose argv is explicitly discarded
+(``coo.c:18-19``) and whose matrix path, work sizes and tuning constants
+are compile-time constants (SURVEY.md §5 config row).  Here everything is
+a flag.
+
+    python -m spmv_tpu run   --format csr --matrix databases/cant.mtx
+    python -m spmv_tpu bench --matrix databases/cant.mtx --formats all
+    python -m spmv_tpu info  --matrix m.mtx
+
+``run`` mirrors one reference driver end-to-end: load → convert → SpMV on
+device → golden validation → metrics print, with the reference's
+``x[i] = i`` input (``coo.c:88-92``) by default.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+import numpy as np
+
+from spmv_tpu.errors import ReturnCode
+
+ALL_FORMATS = ["coo", "csr", "ell", "sell", "cmrs"]
+
+
+def _load(args):
+    from spmv_tpu.io import mmio
+
+    synth_kwargs = {}
+    if args.synth_n:
+        synth_kwargs = dict(n=args.synth_n)
+    return mmio.read_path_or_synthesize(args.matrix, **synth_kwargs)
+
+
+def _make_x(mode: str, ncols: int, seed: int = 0) -> np.ndarray:
+    if mode == "index":  # the reference's vector (coo.c:88-92)
+        return np.arange(ncols, dtype=np.float32)
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal(ncols).astype(np.float32)
+
+
+def _validate(info, rows, cols, vals, x, y) -> tuple[bool, str]:
+    from spmv_tpu.oracle import check_result, fp32_rel_tol, golden_spmv
+
+    expected = golden_spmv(info.nrows, rows, cols, vals, x)
+    scale = golden_spmv(info.nrows, rows, cols, np.abs(vals), np.abs(x))
+    lengths = np.bincount(rows, minlength=max(info.nrows, 1)) if rows.size else np.zeros(1)
+    rep = check_result(expected, y, tol_abs=1e-5, scale=scale,
+                       tol_rel=fp32_rel_tol(int(lengths.max() or 1)))
+    return rep.ok, str(rep)
+
+
+def cmd_run(args) -> int:
+    import spmv_tpu
+
+    try:
+        info, rows, cols, vals = _load(args)
+    except Exception as e:
+        print(f"error reading {args.matrix}: {e}", file=sys.stderr)
+        return ReturnCode.FILE_ERROR
+
+    x = _make_x(args.x, info.ncols, args.seed)
+    try:
+        a = spmv_tpu.from_coo(args.format, info.nrows, info.ncols,
+                              rows, cols, vals)
+        y = np.asarray(a.matvec(x))
+    except Exception as e:
+        print(f"kernel error: {type(e).__name__}: {e}", file=sys.stderr)
+        return ReturnCode.PROGRAM_ERROR
+
+    if args.format == "ell":
+        st = a.row_length_stats  # parity with ell.c:103-104
+        print(f"row length: average {st['average']:.2f}, "
+              f"shortest {st['shortest']}, longest {st['longest']}")
+
+    ok, verdict = _validate(info, rows, cols, vals, x, y)
+    print(verdict)
+
+    if args.bench:
+        from spmv_tpu.bench.runner import bench_format
+        r = bench_format(a, args.format)
+        print(f"{r.ms_per_spmv:.3f} ms/SpMV  {r.gnnz_per_s:.2f} Gnnz/s  "
+              f"{r.gflops:.1f} GFLOP/s  {r.effective_gbps:.0f} GB/s effective "
+              f"({r.roofline_pct:.1f}% of roofline)")
+        if args.json:
+            with open(args.json, "w") as f:
+                json.dump(r.to_dict(), f, indent=2)
+
+    return ReturnCode.SUCCESS if ok else ReturnCode.VALIDATION_FAILED
+
+
+def cmd_bench(args) -> int:
+    import spmv_tpu
+    from spmv_tpu.bench.runner import bench_format, measure_hbm_bw
+
+    try:
+        info, rows, cols, vals = _load(args)
+    except Exception as e:
+        print(f"error reading {args.matrix}: {e}", file=sys.stderr)
+        return ReturnCode.FILE_ERROR
+
+    formats = ALL_FORMATS if args.formats == "all" else args.formats.split(",")
+    bw = measure_hbm_bw() if args.probe_bw else None
+    results = {}
+    for fmt in formats:
+        a = spmv_tpu.from_coo(fmt, info.nrows, info.ncols, rows, cols, vals)
+        r = bench_format(a, fmt, hbm_bw=bw)
+        results[fmt] = r.to_dict()
+        print(f"{fmt:5s}: {r.ms_per_spmv:7.3f} ms  {r.gnnz_per_s:6.2f} Gnnz/s "
+              f"{r.gflops:8.1f} GFLOP/s  {r.roofline_pct:4.1f}% roofline "
+              f"(pad {r.padded_slots / max(r.nnz, 1):.2f}x)")
+    if args.json:
+        with open(args.json, "w") as f:
+            json.dump(results, f, indent=2)
+    return ReturnCode.SUCCESS
+
+
+def cmd_info(args) -> int:
+    try:
+        info, rows, cols, vals = _load(args)
+    except Exception as e:
+        print(f"error reading {args.matrix}: {e}", file=sys.stderr)
+        return ReturnCode.FILE_ERROR
+    lengths = np.bincount(rows, minlength=max(info.nrows, 1)) if rows.size else np.zeros(1, np.int64)
+    print(f"{info.nrows} x {info.ncols}, nnz {rows.size} "
+          f"({info.field} {info.symmetry})")
+    print(f"row length: average {lengths.mean():.2f}, "
+          f"shortest {int(lengths.min())}, longest {int(lengths.max())}")
+    return ReturnCode.SUCCESS
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="spmv-tpu",
+                                description="TPU-native SpMV framework")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def common(sp):
+        sp.add_argument("--matrix", default="databases/cant.mtx",
+                        help=".mtx path (LFS pointers / missing files are "
+                             "synthesized)")
+        sp.add_argument("--synth-n", type=int, default=0,
+                        help="synthesis size when the matrix file is absent")
+
+    r = sub.add_parser("run", help="one format end-to-end with validation")
+    common(r)
+    r.add_argument("--format", default="csr", choices=ALL_FORMATS)
+    r.add_argument("--x", default="index", choices=["index", "random"],
+                   help="input vector: reference x[i]=i or random")
+    r.add_argument("--seed", type=int, default=0)
+    r.add_argument("--bench", action="store_true")
+    r.add_argument("--json", default="")
+    r.set_defaults(fn=cmd_run)
+
+    b = sub.add_parser("bench", help="benchmark formats")
+    common(b)
+    b.add_argument("--formats", default="all")
+    b.add_argument("--probe-bw", action="store_true",
+                   help="measure HBM bandwidth for the roofline")
+    b.add_argument("--json", default="")
+    b.set_defaults(fn=cmd_bench)
+
+    i = sub.add_parser("info", help="matrix statistics")
+    common(i)
+    i.set_defaults(fn=cmd_info)
+
+    args = p.parse_args(argv)
+    return int(args.fn(args))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,81 @@
+import io
+import json
+
+import numpy as np
+import pytest
+
+from spmv_tpu import synth
+from spmv_tpu.cli import main
+from spmv_tpu.errors import ReturnCode
+from spmv_tpu.io import mmio
+
+
+@pytest.fixture
+def mtx(tmp_path):
+    info, r, c, v = synth.synthetic_cant(n=300, avg_nnz_per_row=6,
+                                         bandwidth=30, seed=3)
+    p = tmp_path / "m.mtx"
+    mmio.write_coo(str(p), info.nrows, info.ncols, r, c, v)
+    return str(p)
+
+
+@pytest.mark.parametrize("fmt", ["csr", "ell", "cmrs"])
+def test_cli_run_validates(mtx, fmt, capsys):
+    rc = main(["run", "--format", fmt, "--matrix", mtx])
+    out = capsys.readouterr().out
+    assert rc == ReturnCode.SUCCESS
+    assert "result is ok" in out
+
+
+def test_cli_run_ell_stats(mtx, capsys):
+    rc = main(["run", "--format", "ell", "--matrix", mtx])
+    out = capsys.readouterr().out
+    assert "row length: average" in out  # ell.c:103-104 parity
+    assert rc == 0
+
+
+def test_cli_missing_file(capsys, tmp_path):
+    # a missing file is synthesized (LFS-pointer behavior), so use a
+    # *malformed* file for the FILE_ERROR path
+    bad = tmp_path / "bad.mtx"
+    bad.write_text("not a matrix\n")
+    rc = main(["run", "--matrix", str(bad)])
+    assert rc == ReturnCode.FILE_ERROR
+
+
+def test_cli_info(mtx, capsys):
+    rc = main(["info", "--matrix", mtx])
+    out = capsys.readouterr().out
+    assert rc == 0 and "row length" in out
+
+
+def test_cli_bench_json(mtx, tmp_path, capsys):
+    out_json = str(tmp_path / "r.json")
+    rc = main(["bench", "--matrix", mtx, "--formats", "csr",
+               "--json", out_json])
+    assert rc == 0
+    d = json.load(open(out_json))
+    assert "csr" in d and d["csr"]["nnz"] > 0
+
+
+def test_cache_roundtrip(mtx, tmp_path):
+    from spmv_tpu.cache import cached_convert
+
+    cdir = str(tmp_path / "cache")
+    a = cached_convert(mtx, "csr", cache_dir=cdir)
+    b = cached_convert(mtx, "csr", cache_dir=cdir)  # hit
+    x = np.random.default_rng(0).standard_normal(a.ncols).astype(np.float32)
+    np.testing.assert_allclose(np.asarray(a.matvec(x)),
+                               np.asarray(b.matvec(x)))
+    import os
+    assert any(f.endswith(".npz") for f in os.listdir(cdir))
+
+
+def test_cache_key_changes_with_content(tmp_path):
+    from spmv_tpu.cache import cache_key
+
+    p1 = tmp_path / "a.mtx"
+    p2 = tmp_path / "b.mtx"
+    p1.write_text("%%MatrixMarket matrix coordinate real general\n1 1 1\n1 1 2.0\n")
+    p2.write_text("%%MatrixMarket matrix coordinate real general\n1 1 1\n1 1 3.0\n")
+    assert cache_key(str(p1), "csr", {}) != cache_key(str(p2), "csr", {})
