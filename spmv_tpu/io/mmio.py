@@ -160,6 +160,22 @@ def _parse_body_tokens(f, count: int) -> np.ndarray:
     return toks
 
 
+def _try_native_body(f, nnz: int, tokens_per_entry: int):
+    """Parse the coordinate body with the C++ parser (spmv_tpu.io.native)
+    when it is available and the stream is byte-oriented; None otherwise."""
+    from spmv_tpu.io import native
+
+    if nnz == 0 or not native.available():
+        return None
+    buf = f.read()
+    if isinstance(buf, str):
+        buf = buf.encode("ascii", errors="replace")
+    try:
+        return native.parse_body(buf, nnz, tokens_per_entry)
+    except ValueError as e:
+        raise MMError(str(e)) from None
+
+
 def read_coo(
     path_or_file,
     *,
@@ -189,18 +205,32 @@ def read_coo(
         tokens_per_entry = {"real": 3, "integer": 3, "pattern": 2, "complex": 4}[
             info.field
         ]
-        toks = _parse_body_tokens(f, info.nnz * tokens_per_entry)
-        body = toks.reshape(info.nnz, tokens_per_entry)
-        rows = body[:, 0].astype(np.int64) - 1
-        cols = body[:, 1].astype(np.int64) - 1
-        if info.field == "pattern":
-            vals = np.ones(info.nnz, dtype=np.float64)
-        elif info.field == "complex":
-            vals = body[:, 2] + 1j * body[:, 3]
-            if not np.issubdtype(np.dtype(dtype), np.complexfloating):
-                vals = vals.real
+        native_result = _try_native_body(f, info.nnz, tokens_per_entry)
+        if native_result is not None:
+            nrows_, ncols_, nvals_ = native_result
+            rows = nrows_.astype(np.int64) - 1
+            cols = ncols_.astype(np.int64) - 1
+            if info.field == "pattern":
+                vals = np.ones(info.nnz, dtype=np.float64)
+            elif info.field == "complex":
+                vals = nvals_[0::2] + 1j * nvals_[1::2]
+                if not np.issubdtype(np.dtype(dtype), np.complexfloating):
+                    vals = vals.real
+            else:
+                vals = nvals_
         else:
-            vals = body[:, 2]
+            toks = _parse_body_tokens(f, info.nnz * tokens_per_entry)
+            body = toks.reshape(info.nnz, tokens_per_entry)
+            rows = body[:, 0].astype(np.int64) - 1
+            cols = body[:, 1].astype(np.int64) - 1
+            if info.field == "pattern":
+                vals = np.ones(info.nnz, dtype=np.float64)
+            elif info.field == "complex":
+                vals = body[:, 2] + 1j * body[:, 3]
+                if not np.issubdtype(np.dtype(dtype), np.complexfloating):
+                    vals = vals.real
+            else:
+                vals = body[:, 2]
 
         if (
             (rows < 0).any()

@@ -130,3 +130,33 @@ def test_file_roundtrip(tmp_path):
     info, r, c, v = mmio.read_coo(str(p))
     np.testing.assert_array_equal(r, rows)
     np.testing.assert_allclose(v, vals)
+
+
+def test_native_parser_parity(tmp_path):
+    """C++ body parser must agree exactly with the NumPy fallback."""
+    import os
+
+    from spmv_tpu import synth
+    from spmv_tpu.io import native
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("native parser not built")
+    info, r, c, v = synth.synthetic_cant(n=500, avg_nnz_per_row=9,
+                                         bandwidth=40, seed=12)
+    p = tmp_path / "n.mtx"
+    mmio.write_coo(str(p), info.nrows, info.ncols, r, c, v)
+    _, r1, c1, v1 = mmio.read_coo(str(p))
+    os.environ["SPMV_TPU_NO_NATIVE"] = "1"
+    native._tried = False
+    native._lib = None
+    try:
+        _, r2, c2, v2 = mmio.read_coo(str(p))
+    finally:
+        del os.environ["SPMV_TPU_NO_NATIVE"]
+        native._tried = False
+        native._lib = None
+    np.testing.assert_array_equal(r1, r2)
+    np.testing.assert_array_equal(c1, c2)
+    np.testing.assert_array_equal(v1, v2)
