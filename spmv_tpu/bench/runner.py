@@ -62,8 +62,7 @@ def _fetch(o) -> float:
 
 def _chained_loop(a, iters: int):
     """One jitted function running `iters` chained SpMVs on padded forms."""
-    d = a.dev
-    S = x_table_rows(a.ncols, d.window_rows)
+    S = x_table_rows(a.ncols)
 
     def body(i, x2d):
         y = a.padded_matvec(x2d)  # (1, NB*128)
@@ -96,7 +95,7 @@ def bench_format(
     if x0 is None:
         rng = np.random.default_rng(0)
         x0 = rng.standard_normal(a.ncols).astype(np.float32)
-    x2d = x_to_table(x0, a.ncols, a.dev.window_rows)
+    x2d = x_to_table(x0, a.ncols)
 
     fa = _chained_loop(a, iters_a)
     fb = _chained_loop(a, iters_b)
@@ -139,10 +138,11 @@ def bench_format(
 
 
 def bytes_per_slot(a) -> float:
-    """HBM bytes streamed per padded slot (vals f32 + cols i32 [+ ends u8])."""
+    """HBM bytes streamed per padded slot: vals f32 + loc u16, plus the
+    gidx/pidx u8 segment bounds for the segmented engine."""
     from spmv_tpu.device import DevSeg
 
-    return 9.0 if isinstance(a.dev, DevSeg) else 8.0
+    return 8.0 if isinstance(a.dev, DevSeg) else 6.0
 
 
 def measure_hbm_bw(mb: int = 128, iters: int = 100) -> float:

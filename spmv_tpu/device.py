@@ -5,20 +5,18 @@ from __future__ import annotations
 from dataclasses import dataclass
 
 import jax.numpy as jnp
-import numpy as np
 
-from spmv_tpu.formats.base import LANES, PanelPlan, SegPlan, cdiv
+from spmv_tpu.formats.base import LANES, PanelPlan, SegPlan, cdiv, x_stripes
 
-__all__ = ["DevPanel", "DevSeg", "x_to_table", "y_from_padded"]
+__all__ = ["DevPanel", "DevSeg", "x_table_rows", "x_to_table", "y_from_padded"]
 
 
 @dataclass(frozen=True)
 class DevPanel:
     vals: jnp.ndarray
-    cols: jnp.ndarray
+    loc: jnp.ndarray
     sub_block: jnp.ndarray
-    sub_wrow: jnp.ndarray
-    window_rows: int
+    sub_base: jnp.ndarray
     chunk: int
     nrows: int
     ncols: int
@@ -28,10 +26,9 @@ class DevPanel:
     def from_plan(cls, p: PanelPlan) -> "DevPanel":
         return cls(
             vals=jnp.asarray(p.vals),
-            cols=jnp.asarray(p.cols),
+            loc=jnp.asarray(p.loc),
             sub_block=jnp.asarray(p.sub_block),
-            sub_wrow=jnp.asarray(p.sub_wrow),
-            window_rows=p.window_rows,
+            sub_base=jnp.asarray(p.sub_base),
             chunk=p.chunk,
             nrows=p.nrows,
             ncols=p.ncols,
@@ -46,11 +43,11 @@ class DevPanel:
 @dataclass(frozen=True)
 class DevSeg:
     vals: jnp.ndarray
-    cols: jnp.ndarray
-    ends: jnp.ndarray
+    loc: jnp.ndarray
+    gidx: jnp.ndarray
+    pidx: jnp.ndarray
     sub_block: jnp.ndarray
-    sub_wrow: jnp.ndarray
-    window_rows: int
+    sub_base: jnp.ndarray
     chunk: int
     nrows: int
     ncols: int
@@ -60,11 +57,11 @@ class DevSeg:
     def from_plan(cls, p: SegPlan) -> "DevSeg":
         return cls(
             vals=jnp.asarray(p.vals),
-            cols=jnp.asarray(p.cols),
-            ends=jnp.asarray(p.ends),
+            loc=jnp.asarray(p.loc),
+            gidx=jnp.asarray(p.gidx),
+            pidx=jnp.asarray(p.pidx),
             sub_block=jnp.asarray(p.sub_block),
-            sub_wrow=jnp.asarray(p.sub_wrow),
-            window_rows=p.window_rows,
+            sub_base=jnp.asarray(p.sub_base),
             chunk=p.chunk,
             nrows=p.nrows,
             ncols=p.ncols,
@@ -76,15 +73,15 @@ class DevSeg:
         return cdiv(max(self.nrows, 1), LANES)
 
 
-def x_table_rows(ncols: int, window_rows: int) -> int:
-    """Rows of the (S,128) x table: at least window_rows and at least 8 so
-    every dynamic window slice stays in bounds."""
-    return max(cdiv(max(ncols, 1), LANES), window_rows, 8)
+def x_table_rows(ncols: int) -> int:
+    """Rows of the (S,128) x table: at least 8 so every (8,128) window
+    slice stays in bounds."""
+    return x_stripes(ncols)
 
 
-def x_to_table(x, ncols: int, window_rows: int):
+def x_to_table(x, ncols: int):
     """(ncols,) → zero-padded (S,128) VMEM table. jit-composable."""
-    S = x_table_rows(ncols, window_rows)
+    S = x_table_rows(ncols)
     xf = jnp.asarray(x, jnp.float32).reshape(-1)
     if xf.shape[0] != ncols:
         raise ValueError(f"x has {xf.shape[0]} entries, matrix has {ncols} columns")

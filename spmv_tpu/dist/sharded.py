@@ -32,13 +32,9 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
-from spmv_tpu.device import DevPanel, DevSeg, x_table_rows
+from spmv_tpu.device import DevSeg, x_table_rows
 from spmv_tpu.formats.base import LANES, cdiv, round_up
-from spmv_tpu.kernels.engines import (
-    inverse_permute_blocks,
-    panel_spmv,
-    segmented_spmv,
-)
+from spmv_tpu.kernels.engines import panel_spmv, segmented_spmv
 
 __all__ = ["RowShardedSpmv", "ColShardedSpmv"]
 
@@ -54,26 +50,21 @@ def _pad_rows(arr: np.ndarray, target: int) -> np.ndarray:
 
 
 def _unify_plans(shards):
-    """Pad per-shard device arrays to common shapes; unify window_rows."""
-    W = max(s.dev.window_rows for s in shards)
+    """Pad per-shard device arrays to common shapes (pad rows are all-zero
+    subtiles that accumulate 0 into block 0)."""
     arrays = {}
-    names = ["vals", "cols", "sub_block", "sub_wrow"]
+    names = ["vals", "loc", "sub_block", "sub_base"]
     if isinstance(shards[0].dev, DevSeg):
-        names.insert(2, "ends")
+        names += ["gidx", "pidx"]
     for name in names:
         mats = [np.asarray(getattr(s.dev, name)) for s in shards]
         tr = max(m.shape[0] for m in mats)
         arrays[name] = np.stack([_pad_rows(m, tr) for m in mats])
-    # Window start stays valid for a larger W because every shard's x table
-    # has S ≥ W rows (x_table_rows accounts for it); clamp defensively.
-    S = x_table_rows(shards[0].ncols, W)
-    arrays["sub_wrow"] = np.minimum(arrays["sub_wrow"], max(S - W, 0))
-    return arrays, W
+    return arrays
 
 
 @dataclass
 class _ShardStatics:
-    window_rows: int
     chunk: int
     out_blocks: int
     is_seg: bool
@@ -113,10 +104,9 @@ class RowShardedSpmv:
                 cls.from_coo(rps, ncols, rows[sel] - lo, cols[sel], vals[sel],
                              **fmt_kwargs)
             )
-        arrays, W = _unify_plans(shards)
+        self.arrays_np = _unify_plans(shards)
         self.is_seg = isinstance(shards[0].dev, DevSeg)
         self.st = _ShardStatics(
-            window_rows=W,
             chunk=shards[0].dev.chunk,
             out_blocks=rps // LANES,
             is_seg=self.is_seg,
@@ -128,10 +118,11 @@ class RowShardedSpmv:
         self.gather_x = gather_x
         sharded = NamedSharding(mesh, P(self.axis))
         self.arrays = {
-            k: jax.device_put(jnp.asarray(v), sharded) for k, v in arrays.items()
+            k: jax.device_put(jnp.asarray(v), sharded)
+            for k, v in self.arrays_np.items()
         }
         # x table rows, padded so the shard axis divides evenly when sharded.
-        self.S = x_table_rows(ncols, W)
+        self.S = x_table_rows(ncols)
         if gather_x:
             self.S = round_up(self.S, D)
         self._fn = self._build()
@@ -139,29 +130,29 @@ class RowShardedSpmv:
     def _build(self):
         st, axis, mesh = self.st, self.axis, self.mesh
         gather_x = self.gather_x
-        S = self.S
+        names = list(self.arrays)
 
-        def shard_fn(vals, cols, ends, sub_block, sub_wrow, x_local):
+        def shard_fn(x_local, *plan):
+            a = dict(zip(names, (p[0] for p in plan)))
             if gather_x:
                 x2d = jax.lax.all_gather(x_local, axis, axis=0, tiled=True)
             else:
                 x2d = x_local
             if st.is_seg:
                 y = segmented_spmv(
-                    vals[0], cols[0], ends[0], sub_block[0], sub_wrow[0], x2d,
-                    window_rows=st.window_rows, chunk=st.chunk,
-                    out_blocks=st.out_blocks)
+                    a["vals"], a["loc"], a["gidx"], a["pidx"],
+                    a["sub_block"], a["sub_base"], x2d,
+                    chunk=st.chunk, out_blocks=st.out_blocks)
             else:
                 y = panel_spmv(
-                    vals[0], cols[0], sub_block[0], sub_wrow[0], x2d,
-                    window_rows=st.window_rows, chunk=st.chunk,
-                    out_blocks=st.out_blocks)
+                    a["vals"], a["loc"], a["sub_block"], a["sub_base"], x2d,
+                    chunk=st.chunk, out_blocks=st.out_blocks)
             return y
 
         xspec = P(axis, None) if gather_x else P()
         fn = shard_map(
             shard_fn, mesh=mesh,
-            in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis), xspec),
+            in_specs=(xspec,) + (P(axis),) * len(names),
             out_specs=P(axis, None),
             check_vma=False,  # pallas_call out_shape carries no vma info
         )
@@ -177,10 +168,7 @@ class RowShardedSpmv:
         if self.gather_x:
             x2d = jax.device_put(
                 x2d, NamedSharding(self.mesh, P(self.axis, None)))
-        a = self.arrays
-        ends = a.get("ends", a["cols"])  # unused for panel formats
-        y = self._fn(a["vals"], a["cols"], ends, a["sub_block"],
-                     a["sub_wrow"], x2d)
+        y = self._fn(x2d, *self.arrays.values())
         return y.reshape(-1)[: self.st.nrows]
 
     __matmul__ = matvec
@@ -214,10 +202,9 @@ class ColShardedSpmv:
                 cls.from_coo(nrows, cps, rows[sel], cols[sel] - lo, vals[sel],
                              **fmt_kwargs)
             )
-        arrays, W = _unify_plans(shards)
+        self.arrays_np = _unify_plans(shards)
         self.is_seg = isinstance(shards[0].dev, DevSeg)
         self.st = _ShardStatics(
-            window_rows=W,
             chunk=shards[0].dev.chunk,
             out_blocks=cdiv(max(nrows, 1), LANES),
             is_seg=self.is_seg,
@@ -228,37 +215,37 @@ class ColShardedSpmv:
         )
         sharded = NamedSharding(mesh, P(self.axis))
         self.arrays = {
-            k: jax.device_put(jnp.asarray(v), sharded) for k, v in arrays.items()
+            k: jax.device_put(jnp.asarray(v), sharded)
+            for k, v in self.arrays_np.items()
         }
-        self.S_local = x_table_rows(cps, W)
+        self.S_local = x_table_rows(cps)
         self.cps = cps
         self._fn = self._build()
 
     def _build(self):
         st, axis, mesh = self.st, self.axis, self.mesh
         S_local = self.S_local
-        cps = self.cps
+        names = list(self.arrays)
 
-        def shard_fn(vals, cols, ends, sub_block, sub_wrow, x_local):
+        def shard_fn(x_local, *plan):
+            a = dict(zip(names, (p[0] for p in plan)))
             xf = x_local[0]  # (cps,)
             xf = jnp.pad(xf, (0, S_local * LANES - xf.shape[0]))
             x2d = xf.reshape(S_local, LANES)
             if st.is_seg:
                 y = segmented_spmv(
-                    vals[0], cols[0], ends[0], sub_block[0], sub_wrow[0], x2d,
-                    window_rows=st.window_rows, chunk=st.chunk,
-                    out_blocks=st.out_blocks)
+                    a["vals"], a["loc"], a["gidx"], a["pidx"],
+                    a["sub_block"], a["sub_base"], x2d,
+                    chunk=st.chunk, out_blocks=st.out_blocks)
             else:
                 y = panel_spmv(
-                    vals[0], cols[0], sub_block[0], sub_wrow[0], x2d,
-                    window_rows=st.window_rows, chunk=st.chunk,
-                    out_blocks=st.out_blocks)
+                    a["vals"], a["loc"], a["sub_block"], a["sub_base"], x2d,
+                    chunk=st.chunk, out_blocks=st.out_blocks)
             return jax.lax.psum(y, axis)
 
         fn = shard_map(
             shard_fn, mesh=mesh,
-            in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis),
-                      P(axis, None)),
+            in_specs=(P(axis, None),) + (P(axis),) * len(names),
             out_specs=P(),
             check_vma=False,  # pallas_call out_shape carries no vma info
         )
@@ -275,10 +262,7 @@ class ColShardedSpmv:
             xf.reshape(D, self.cps),
             NamedSharding(self.mesh, P(self.axis, None)),
         )
-        a = self.arrays
-        ends = a.get("ends", a["cols"])
-        y = self._fn(a["vals"], a["cols"], ends, a["sub_block"],
-                     a["sub_wrow"], xs)
+        y = self._fn(xs, *self.arrays.values())
         return y.reshape(-1)[: self.st.nrows]
 
     __matmul__ = matvec

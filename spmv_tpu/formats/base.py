@@ -1,21 +1,31 @@
-"""Device-layout plans shared by the five format conversions.
+"""Stripe-local device-layout plans shared by the five format conversions.
 
-Two target layouts (see ``docs/DESIGN.md``):
+Both engines consume the same geometric decomposition (see docs/DESIGN.md):
 
-* **PanelPlan** (engine 1, ``gather_rowsum``): rows grouped into 128-row
-  blocks (the TPU lane dimension); each block is a dense padded panel
-  ``(K_b, 128)`` — slot ``k`` of row ``r`` lives at ``[k, r]`` — and the
-  panels are concatenated into one flat ``(ΣK_b, 128)`` stream.  Used by
-  ELL and SELL-C-σ.
-* **SegPlan** (engine 2, ``segmented``): the row-major nnz stream cut into
-  1024-nnz (8,128) tiles, each tile touching a single 128-row y block;
-  per-element block-local row ids (int8) + per-tile segment-end positions
-  drive an in-kernel prefix-sum segmented reduction.  Used by CSR, COO and
-  CMRS.
+* y is tiled into **128-row blocks** (the TPU lane dimension);
+* x is tiled into **128-column stripes** = rows of the ``(S,128)`` x table;
+* the nonzeros are laid out as a flat stream of (8,128) **subtiles** such
+  that every 128-wide sublane row is *stripe-pure* (all its columns fall in
+  one stripe) and every subtile is *block-pure* (all its rows fall in one
+  y block) with stripe span ≤ 8.
 
-Both plans carry per-subtile x-**window** metadata: the windowed gather in
-the kernels reads x rows ``[wrow, wrow + window_rows)`` of the ``(S,128)``
-x table; ``window_rows`` is static per matrix (the compile specializes).
+That makes the x-gather exact and cheap in-kernel: load one (8,128) window
+of the x table at the subtile's base stripe, sublane-gather by the per-row
+stripe offset ``hi`` and lane-gather by the in-stripe column ``lo`` — both
+ride in a single uint16 stream ``loc = hi·128 + lo``.  This replaces v1's
+O(W) select-loop gather, which left the kernels VPU-bound at ~11% of the
+HBM roofline.
+
+* **PanelPlan** (engine 1): per (block, stripe) a padded mini-panel — slot
+  ``k`` of row ``r`` lives at sublane row ``panel_start+k``, lane ``r&127``.
+  Used by ELL and SELL-C-σ (the TPU analog of ELLPACK's dense padding,
+  ``ell.c:121-164`` / ``sigma_c.c:156-202``).
+* **SegPlan** (engine 2): the (block, stripe, row)-sorted nnz stream packed
+  127-per-sublane-row (lane 0 is a guaranteed zero pad so the in-kernel
+  prefix-difference needs no masking); per-(sublane row, block-local row id)
+  segment bounds ride as uint8 ``gidx``/``pidx`` streams.  Used by CSR, COO
+  and CMRS — the deterministic TPU replacement for the reference's atomic
+  scatter (``Coo.cl:4-22``) and strip scheduling (``Cmrs.cl:5-44``).
 
 All builders are pure NumPy — the vectorized replacement of the reference's
 per-driver ``fscanf`` conversion loops (``coo.c:75-84``, ``csr.c:68-91``,
@@ -28,11 +38,10 @@ from dataclasses import dataclass
 
 import numpy as np
 
-LANES = 128  # y rows per block; the lane dimension
-SUBLANES = 8  # sublane rows per subtile
-TILE_NNZ = LANES * SUBLANES  # nnz per (8,128) tile in engine 2
+LANES = 128  # y rows per block / x cols per stripe; the lane dimension
+SUBLANES = 8  # sublane rows per subtile; also the x-window height
+ROW_CAP = LANES - 1  # real elements per seg sublane row (lane 0 = zero pad)
 DEFAULT_CHUNK = 64  # sublane rows fetched per grid step (8 subtiles)
-PAD_LID = LANES - 1  # lid assigned to padding elements (val 0 ⇒ harmless)
 
 
 def cdiv(a: int, b: int) -> int:
@@ -43,15 +52,20 @@ def round_up(a: int, b: int) -> int:
     return cdiv(a, b) * b
 
 
+def x_stripes(ncols: int) -> int:
+    """Rows of the (S,128) x table: at least 8 so every (8,128) window
+    slice stays in bounds."""
+    return max(cdiv(max(ncols, 1), LANES), SUBLANES)
+
+
 @dataclass
 class PanelPlan:
-    """Engine-1 device layout (flat padded row panels)."""
+    """Engine-1 device layout (stripe-pure padded mini-panels)."""
 
     vals: np.ndarray  # (TR, 128) f32
-    cols: np.ndarray  # (TR, 128) i32
+    loc: np.ndarray  # (TR, 128) u16 — hi·128 + lo per element
     sub_block: np.ndarray  # (TR//8,) i32 — y block per subtile
-    sub_wrow: np.ndarray  # (TR//8,) i32 — x window first row per subtile
-    window_rows: int  # static gather window height (W)
+    sub_base: np.ndarray  # (TR//8,) i32 — x window base stripe per subtile
     nrows: int
     ncols: int
     nnz: int  # true nonzeros
@@ -68,15 +82,14 @@ class PanelPlan:
 
 @dataclass
 class SegPlan:
-    """Engine-2 device layout (segmented nnz tiles)."""
+    """Engine-2 device layout (stripe-pure segmented nnz stream)."""
 
     vals: np.ndarray  # (TM, 128) f32
-    cols: np.ndarray  # (TM, 128) i32
-    lid: np.ndarray  # (TM, 128) i8 — block-local row id
-    ends: np.ndarray  # (TM, 128) u8 — E_r[j]: #elems with lid<=j per sublane row
+    loc: np.ndarray  # (TM, 128) u16
+    gidx: np.ndarray  # (TM, 128) u8 — last position of segment j in the row
+    pidx: np.ndarray  # (TM, 128) u8 — (first position − 1); == gidx if absent
     sub_block: np.ndarray  # (TM//8,) i32
-    sub_wrow: np.ndarray  # (TM//8,) i32
-    window_rows: int
+    sub_base: np.ndarray  # (TM//8,) i32
     nrows: int
     ncols: int
     nnz: int
@@ -91,115 +104,78 @@ class SegPlan:
         return self.padded_slots / max(self.nnz, 1)
 
 
-def _window_meta(cols2d: np.ndarray, valid: np.ndarray, ncols: int):
-    """Per-subtile x-window metadata.
+def _group_subtiles(subrow_blk: np.ndarray, subrow_stp: np.ndarray, S: int,
+                    chunk: int):
+    """Greedy subtile grouping of the ordered sublane-row stream.
 
-    cols2d: (T, 8, 128) int32 column ids; valid: same-shape bool mask.
-    Returns (wrow (T,), window_rows, safe_cols (T,8,128)) where padding
-    columns are rewritten to the subtile min so they never widen the window.
+    Subrows arrive sorted by (block, stripe).  Consecutive subrows join a
+    subtile while (a) it has < 8 rows, (b) they share the block, and
+    (c) the stripe span stays < 8 (so the in-kernel window is one (8,128)
+    slice of the x table).  Violations close the subtile early with pad
+    rows.
+
+    Returns (slot_of_subrow (n,), sub_block (nsub,), sub_base (nsub,), TM)
+    where TM = nsub·8 rounded up to ``chunk``.
     """
-    T = cols2d.shape[0]
-    S = cdiv(max(ncols, 1), LANES)
-    if T == 0:
-        return np.zeros(0, np.int32), 1, cols2d
-    big = np.where(valid, cols2d, np.iinfo(np.int32).max)
-    minc = big.reshape(T, -1).min(axis=1)
-    minc = np.where(minc == np.iinfo(np.int32).max, 0, minc)  # all-pad tile
-    small = np.where(valid, cols2d, np.iinfo(np.int32).min)
-    maxc = small.reshape(T, -1).max(axis=1)
-    maxc = np.where(maxc == np.iinfo(np.int32).min, 0, maxc)
-
-    wrow = (minc >> 7).astype(np.int64)
-    wneed = (maxc >> 7) - wrow + 1
-    window_rows = int(max(wneed.max(), 1))
-    window_rows = min(window_rows, S)
-    # Clamp so the window stays inside the (S,128) x table; clamping only
-    # moves the start down, which keeps coverage.
-    wrow = np.minimum(wrow, S - window_rows)
-    wrow = np.maximum(wrow, 0)
-    safe = np.where(valid, cols2d, minc[:, None, None].astype(cols2d.dtype))
-    return wrow.astype(np.int32), window_rows, safe
-
-
-def build_panel_plan(
-    block_width: np.ndarray,
-    rows: np.ndarray,
-    cols: np.ndarray,
-    vals: np.ndarray,
-    nrows: int,
-    ncols: int,
-    *,
-    chunk: int = DEFAULT_CHUNK,
-    dtype=np.float32,
-) -> PanelPlan:
-    """Pack a row-sorted COO stream into flat padded panels.
-
-    ``block_width[b]`` is the padded row length K_b (will be rounded up to a
-    multiple of 8) for rows ``[128b, 128(b+1))``.  Entries beyond K_b are an
-    error (callers size K_b from true row lengths).
-    """
-    rows = np.asarray(rows, dtype=np.int64)
-    cols = np.asarray(cols, dtype=np.int64)
-    nnz = rows.size
-    nblocks = cdiv(max(nrows, 1), LANES)
-    block_width = np.asarray(block_width, dtype=np.int64)
-    assert block_width.shape == (nblocks,)
-    kb = np.maximum(round_up_arr(block_width, SUBLANES), SUBLANES)
-
-    # Slot index of each nnz within its row (rank within row).
-    # rows sorted ⇒ rank = position − row start.
-    row_starts = np.zeros(nrows + 1, dtype=np.int64)
-    np.add.at(row_starts, rows + 1, 1)
-    np.cumsum(row_starts, out=row_starts)
-    rank = np.arange(nnz, dtype=np.int64) - row_starts[rows]
-
-    blk = rows >> 7
-    if nnz and (rank >= kb[blk]).any():
-        raise ValueError("block_width too small for actual row lengths")
-
-    panel_start = np.zeros(nblocks + 1, dtype=np.int64)
-    panel_start[1:] = np.cumsum(kb)
-    TR = round_up(int(panel_start[-1]), chunk)
-    TR = max(TR, chunk)
-
-    v = np.zeros((TR, LANES), dtype=dtype)
-    c = np.zeros((TR, LANES), dtype=np.int32)
-    valid = np.zeros((TR, LANES), dtype=bool)
-    sub_r = panel_start[blk] + rank  # sublane row in the flat stream
-    lane = rows & (LANES - 1)
-    v[sub_r, lane] = vals
-    c[sub_r, lane] = cols
-    valid[sub_r, lane] = True
-
-    nsub = TR // SUBLANES
+    n = subrow_blk.size
+    slot = np.empty(n, dtype=np.int64)
+    blocks: list[int] = []
+    bases: list[int] = []
+    tile = -1
+    count = SUBLANES  # force a new tile on the first subrow
+    cur_blk = -1
+    base = 0
+    for i in range(n):
+        b, s = int(subrow_blk[i]), int(subrow_stp[i])
+        if count == SUBLANES or b != cur_blk or s - base >= SUBLANES:
+            tile += 1
+            count = 0
+            cur_blk = b
+            base = s
+            blocks.append(b)
+            bases.append(min(s, S - SUBLANES))
+        slot[i] = tile * SUBLANES + count
+        count += 1
+    ntiles = max(tile + 1, 1)
+    TM = round_up(ntiles * SUBLANES, chunk)
+    nsub = TM // SUBLANES
     sub_block = np.zeros(nsub, dtype=np.int32)
-    # subtile s covers sublane rows [8s, 8s+8) → block via searchsorted
-    first_row = np.arange(nsub, dtype=np.int64) * SUBLANES
-    sub_block[:] = np.minimum(
-        np.searchsorted(panel_start, first_row, side="right") - 1, nblocks - 1
-    ).astype(np.int32)
-    sub_block = np.maximum(sub_block, 0)
+    sub_base = np.zeros(nsub, dtype=np.int32)
+    sub_block[: len(blocks)] = blocks
+    sub_base[: len(bases)] = bases
+    return slot, sub_block, sub_base, TM
 
-    c3 = c.reshape(nsub, SUBLANES, LANES)
-    valid3 = valid.reshape(nsub, SUBLANES, LANES)
-    wrow, window_rows, safe = _window_meta(c3, valid3, ncols)
-    c = safe.reshape(TR, LANES).astype(np.int32)
 
+def _run_heads(keys: np.ndarray):
+    """Group a sorted key array: returns (run_id_per_elem, run_sizes)."""
+    n = keys.size
+    head = np.ones(n, dtype=bool)
+    head[1:] = keys[1:] != keys[:-1]
+    run_id = np.cumsum(head) - 1
+    run_sizes = np.bincount(run_id)
+    return run_id, run_sizes, head
+
+
+def _empty_panel(nrows, ncols, chunk) -> PanelPlan:
     return PanelPlan(
-        vals=v,
-        cols=c,
-        sub_block=sub_block,
-        sub_wrow=wrow,
-        window_rows=window_rows,
-        nrows=nrows,
-        ncols=ncols,
-        nnz=nnz,
-        chunk=chunk,
+        vals=np.zeros((chunk, LANES), np.float32),
+        loc=np.zeros((chunk, LANES), np.uint16),
+        sub_block=np.zeros(chunk // SUBLANES, np.int32),
+        sub_base=np.zeros(chunk // SUBLANES, np.int32),
+        nrows=nrows, ncols=ncols, nnz=0, chunk=chunk,
     )
 
 
-def round_up_arr(a: np.ndarray, b: int) -> np.ndarray:
-    return -(-a // b) * b
+def _empty_seg(nrows, ncols, chunk) -> SegPlan:
+    return SegPlan(
+        vals=np.zeros((chunk, LANES), np.float32),
+        loc=np.zeros((chunk, LANES), np.uint16),
+        gidx=np.zeros((chunk, LANES), np.uint8),
+        pidx=np.zeros((chunk, LANES), np.uint8),
+        sub_block=np.zeros(chunk // SUBLANES, np.int32),
+        sub_base=np.zeros(chunk // SUBLANES, np.int32),
+        nrows=nrows, ncols=ncols, nnz=0, chunk=chunk,
+    )
 
 
 def build_seg_plan(
@@ -212,88 +188,152 @@ def build_seg_plan(
     chunk: int = DEFAULT_CHUNK,
     dtype=np.float32,
 ) -> SegPlan:
-    """Pack a **row-sorted** COO stream into segmented 1024-nnz tiles.
+    """Pack COO triplets (any order; duplicates sum in-kernel) into the
+    stripe-pure segmented stream."""
+    rows = np.asarray(rows, dtype=np.int64)
+    cols = np.asarray(cols, dtype=np.int64)
+    vals = np.asarray(vals)
+    nnz = rows.size
+    if nnz == 0:
+        return _empty_seg(nrows, ncols, chunk)
+    S = x_stripes(ncols)
 
-    Tiles are cut so no tile crosses a 128-row block boundary (pad-split),
-    the deterministic TPU replacement for the reference's atomic scatter
-    (``Coo.cl:4-22``) / strip scheduling (``Cmrs.cl:5-44``).
+    blk = rows >> 7
+    stp = cols >> 7
+    order = np.lexsort((cols, rows, stp, blk))
+    r, c, v = rows[order], cols[order], vals[order]
+    blk, stp = blk[order], stp[order]
+
+    # (block, stripe) runs → 127-wide sublane rows with a leading zero pad.
+    nstripes = cdiv(max(ncols, 1), LANES)
+    run_id, run_sizes, _ = _run_heads(blk * nstripes + stp)
+    run_starts = np.zeros(run_sizes.size + 1, dtype=np.int64)
+    np.cumsum(run_sizes, out=run_starts[1:])
+    idx_in_run = np.arange(nnz, dtype=np.int64) - run_starts[run_id]
+    subrow_in_run = idx_in_run // ROW_CAP
+    pos = 1 + idx_in_run % ROW_CAP  # lane 0 reserved as the zero pad
+
+    run_nsub = -(-run_sizes // ROW_CAP)
+    subrow_start = np.zeros(run_sizes.size + 1, dtype=np.int64)
+    np.cumsum(run_nsub, out=subrow_start[1:])
+    elem_subrow = subrow_start[run_id] + subrow_in_run
+
+    heads = np.zeros(nnz, dtype=bool)
+    heads[run_starts[:-1]] = True
+    subrow_blk = np.repeat(blk[heads], run_nsub)
+    subrow_stp = np.repeat(stp[heads], run_nsub)
+
+    slot, sub_block, sub_base, TM = _group_subtiles(
+        subrow_blk, subrow_stp, S, chunk)
+    final_row = slot[elem_subrow]
+
+    v2d = np.zeros((TM, LANES), dtype=dtype)
+    # The two-step gather is exact only when hi is uniform across the whole
+    # sublane row — pad slots must carry the row's hi, not 0.
+    loc2d = np.zeros((TM, LANES), dtype=np.uint16)
+    row_hi = subrow_stp - sub_base[slot // SUBLANES].astype(np.int64)
+    loc2d[slot, :] = (row_hi * LANES).astype(np.uint16)[:, None]
+    hi = stp - sub_base[final_row // SUBLANES].astype(np.int64)
+    assert hi.size == 0 or (0 <= hi.min() and hi.max() < SUBLANES)
+    v2d[final_row, pos] = v
+    loc2d[final_row, pos] = (hi * LANES + (c & (LANES - 1))).astype(np.uint16)
+
+    # Per-(sublane row, block-local row id) segment bounds.  Elements are
+    # already grouped: within a sublane row, lid runs are contiguous with
+    # ascending positions.
+    lid = (r & (LANES - 1)).astype(np.int64)
+    gkey = final_row * LANES + lid
+    _, g_sizes, g_head = _run_heads(gkey)
+    g_first_pos = pos[g_head]
+    g_last_pos = pos[np.flatnonzero(g_head) + g_sizes - 1]
+    gidx = np.zeros((TM, LANES), dtype=np.uint8)
+    pidx = np.zeros((TM, LANES), dtype=np.uint8)
+    hrow = final_row[g_head]
+    hlid = lid[g_head]
+    gidx[hrow, hlid] = g_last_pos
+    pidx[hrow, hlid] = g_first_pos - 1
+
+    return SegPlan(
+        vals=v2d, loc=loc2d, gidx=gidx, pidx=pidx,
+        sub_block=sub_block, sub_base=sub_base,
+        nrows=nrows, ncols=ncols, nnz=nnz, chunk=chunk,
+    )
+
+
+def build_panel_plan(
+    rows: np.ndarray,
+    cols: np.ndarray,
+    vals: np.ndarray,
+    nrows: int,
+    ncols: int,
+    *,
+    chunk: int = DEFAULT_CHUNK,
+    dtype=np.float32,
+) -> PanelPlan:
+    """Pack COO triplets into stripe-pure padded mini-panels.
+
+    Per (128-row block, 128-col stripe): width K_bs = max over the block's
+    rows of that row's element count in the stripe; row ``i``'s k-th element
+    lands at sublane row ``panel_start+k``, lane ``i&127``; short rows pad
+    with explicit zeros (the reference left ELL pad values uninitialized,
+    ``ell.c:147-151``).
     """
     rows = np.asarray(rows, dtype=np.int64)
     cols = np.asarray(cols, dtype=np.int64)
     vals = np.asarray(vals)
     nnz = rows.size
+    if nnz == 0:
+        return _empty_panel(nrows, ncols, chunk)
+    S = x_stripes(ncols)
 
     blk = rows >> 7
-    # Count nnz per block, pad each block's stream to a TILE_NNZ multiple.
-    nblocks = cdiv(max(nrows, 1), LANES)
-    per_blk = np.bincount(blk, minlength=nblocks).astype(np.int64) if nnz else np.zeros(nblocks, np.int64)
-    padded_per_blk = round_up_arr(per_blk, TILE_NNZ)
-    tiles_per_blk = padded_per_blk // TILE_NNZ
-    blk_start_pad = np.zeros(nblocks + 1, dtype=np.int64)
-    blk_start_pad[1:] = np.cumsum(padded_per_blk)
-    total_pad = int(blk_start_pad[-1])
-    ntiles = max(total_pad // TILE_NNZ, 1)
-    TM = round_up(ntiles * SUBLANES, chunk)
-    ntiles = TM // SUBLANES
-    total_pad = ntiles * TILE_NNZ
+    stp = cols >> 7
+    order = np.lexsort((cols, rows, stp, blk))
+    r, c, v = rows[order], cols[order], vals[order]
+    blk, stp = blk[order], stp[order]
 
-    # Destination position of each nnz in the padded stream.
-    blk_starts_true = np.zeros(nblocks + 1, dtype=np.int64)
-    blk_starts_true[1:] = np.cumsum(per_blk)
-    pos_in_blk = np.arange(nnz, dtype=np.int64) - blk_starts_true[blk]
-    dest = blk_start_pad[blk] + pos_in_blk
+    nstripes = cdiv(max(ncols, 1), LANES)
+    run_key = blk * nstripes + stp
+    run_id, run_sizes, _ = _run_heads(run_key)
+    run_starts = np.zeros(run_sizes.size + 1, dtype=np.int64)
+    np.cumsum(run_sizes, out=run_starts[1:])
 
-    v = np.zeros(total_pad, dtype=dtype)
-    c = np.zeros(total_pad, dtype=np.int64)
-    lid = np.full(total_pad, PAD_LID, dtype=np.int16)
-    valid = np.zeros(total_pad, dtype=bool)
-    v[dest] = vals
-    c[dest] = cols
-    lid[dest] = (rows & (LANES - 1)).astype(np.int16)
-    valid[dest] = True
+    # k = rank of the element within its (row, stripe) group.
+    grp_id, grp_sizes, grp_head = _run_heads(run_key * (nrows + 1) + r)
+    grp_starts = np.zeros(grp_sizes.size + 1, dtype=np.int64)
+    np.cumsum(grp_sizes, out=grp_starts[1:])
+    k = np.arange(nnz, dtype=np.int64) - grp_starts[grp_id]
 
-    # Per-tile metadata.
-    tile_of = np.arange(ntiles, dtype=np.int64)
-    tile_first = tile_of * TILE_NNZ
-    sub_block = np.minimum(
-        np.searchsorted(blk_start_pad, tile_first, side="right") - 1, nblocks - 1
-    ).astype(np.int32)
-    sub_block = np.maximum(sub_block, 0)
+    # K_bs = max group size within each run.
+    run_of_grp = run_id[grp_head]
+    K_bs = np.zeros(run_sizes.size, dtype=np.int64)
+    np.maximum.at(K_bs, run_of_grp, grp_sizes)
 
-    # Row-local segment ends: E[sr, j] = #elements in sublane row sr with
-    # lid <= j (lid is sorted within each 128-element sublane row, so a
-    # segment's elements in that row are [E[sr, j-1], E[sr, j])).  Padding
-    # (lid=127, val 0) keeps E monotone with E[sr, 127] = 128.  Row-local
-    # prefixes keep fp32 cancellation error 8x smaller than tile-level ones.
-    nsubrows = total_pad // LANES
-    counts = np.zeros((nsubrows, LANES), dtype=np.int64)
-    sr_idx = np.repeat(np.arange(nsubrows), LANES)
-    np.add.at(counts, (sr_idx, lid.astype(np.int64)), 1)
-    ends = np.cumsum(counts, axis=1).astype(np.uint8)  # values in [0,128]
+    subrow_start = np.zeros(run_sizes.size + 1, dtype=np.int64)
+    np.cumsum(K_bs, out=subrow_start[1:])
+    elem_subrow = subrow_start[run_id] + k
 
-    c2 = c.reshape(ntiles, SUBLANES, LANES)
-    valid2 = valid.reshape(ntiles, SUBLANES, LANES)
-    wrow, window_rows, safe = _window_meta(c2, valid2, ncols)
-    c = safe.reshape(TM, LANES).astype(np.int32)
+    heads = np.zeros(nnz, dtype=bool)
+    heads[run_starts[:-1]] = True
+    subrow_blk = np.repeat(blk[heads], K_bs)
+    subrow_stp = np.repeat(stp[heads], K_bs)
 
-    # Segment-head flags (first element of each (sublane row, lid) run) ride
-    # in the sign bit of cols — they gate the in-kernel segmented scan at
-    # zero extra memory traffic.
-    lid2 = lid.reshape(total_pad // LANES, LANES)
-    head = np.ones_like(lid2, dtype=bool)
-    head[:, 1:] = lid2[:, 1:] != lid2[:, :-1]
-    c = np.where(head, (c.astype(np.int64) | np.int64(-(2**31))), c).astype(np.int32)
+    slot, sub_block, sub_base, TR = _group_subtiles(
+        subrow_blk, subrow_stp, S, chunk)
+    final_row = slot[elem_subrow]
+    lane = r & (LANES - 1)
 
-    return SegPlan(
-        vals=v.reshape(TM, LANES),
-        cols=c,
-        lid=lid.reshape(TM, LANES).astype(np.int8),
-        ends=ends,
-        sub_block=sub_block,
-        sub_wrow=wrow,
-        window_rows=window_rows,
-        nrows=nrows,
-        ncols=ncols,
-        nnz=nnz,
-        chunk=chunk,
+    v2d = np.zeros((TR, LANES), dtype=dtype)
+    # Pad slots must carry the row's hi (see build_seg_plan).
+    loc2d = np.zeros((TR, LANES), dtype=np.uint16)
+    row_hi = subrow_stp - sub_base[slot // SUBLANES].astype(np.int64)
+    loc2d[slot, :] = (row_hi * LANES).astype(np.uint16)[:, None]
+    hi = stp - sub_base[final_row // SUBLANES].astype(np.int64)
+    assert hi.size == 0 or (0 <= hi.min() and hi.max() < SUBLANES)
+    v2d[final_row, lane] = v
+    loc2d[final_row, lane] = (hi * LANES + (c & (LANES - 1))).astype(np.uint16)
+
+    return PanelPlan(
+        vals=v2d, loc=loc2d, sub_block=sub_block, sub_base=sub_base,
+        nrows=nrows, ncols=ncols, nnz=nnz, chunk=chunk,
     )

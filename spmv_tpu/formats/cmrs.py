@@ -9,9 +9,9 @@ local memory (``Cmrs.cl:18``) and writes out of bounds when
 here by construction (explicit zero padding; y padded to whole blocks).
 
 TPU-native: strips never straddle a 128-row block (128 % height == 0), so
-the block-local row id ``lid = (strip % strips_per_block)·height + ris``
-drives engine 2's segmented reduction; ris itself rides as int8 inside
-``lid``, preserving CMRS's low index traffic.
+the block-local row id ``(strip % strips_per_block)·height + ris`` defines
+the segments of engine 2's stripe-pure segmented reduction; the per-row
+segment bounds ride as uint8 streams, preserving CMRS's low index traffic.
 """
 
 from __future__ import annotations
@@ -116,12 +116,12 @@ class CMRSMatrix:
     def padded_matvec(self, x2d):
         d = self.dev
         return segmented_spmv(
-            d.vals, d.cols, d.ends, d.sub_block, d.sub_wrow, x2d,
-            window_rows=d.window_rows, chunk=d.chunk, out_blocks=d.out_blocks,
+            d.vals, d.loc, d.gidx, d.pidx, d.sub_block, d.sub_base, x2d,
+            chunk=d.chunk, out_blocks=d.out_blocks,
         )
 
     def matvec(self, x):
-        x2d = x_to_table(x, self.ncols, self.dev.window_rows)
+        x2d = x_to_table(x, self.ncols)
         return y_from_padded(self.padded_matvec(x2d), self.nrows)
 
     __matmul__ = matvec

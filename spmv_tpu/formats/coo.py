@@ -71,12 +71,12 @@ class COOMatrix:
     def padded_matvec(self, x2d):
         d = self.dev
         return segmented_spmv(
-            d.vals, d.cols, d.ends, d.sub_block, d.sub_wrow, x2d,
-            window_rows=d.window_rows, chunk=d.chunk, out_blocks=d.out_blocks,
+            d.vals, d.loc, d.gidx, d.pidx, d.sub_block, d.sub_base, x2d,
+            chunk=d.chunk, out_blocks=d.out_blocks,
         )
 
     def matvec(self, x):
-        x2d = x_to_table(x, self.ncols, self.dev.window_rows)
+        x2d = x_to_table(x, self.ncols)
         return y_from_padded(self.padded_matvec(x2d), self.nrows)
 
     __matmul__ = matvec

@@ -2,9 +2,10 @@
 
 Reference: ``/root/reference/ell.c`` + ``kernels/Ell.cl`` (two-pass file
 conversion to row-major (rows, K) arrays, one 16-lane workgroup per row with
-a shared-memory tree reduction).  TPU-native: the padded layout is
-column-major panels (engine 1) and the reduction is a dense ``sum(axis=0)``;
-no shared memory, no barriers.
+a shared-memory tree reduction).  TPU-native: the padded layout is engine
+1's stripe-pure mini-panels in natural row order (SELL-C-σ is the same
+layout after a σ-sort) and the reduction is a dense ``sum(axis=0)``; no
+shared memory, no barriers.
 
 Reference bugs fixed by construction (SURVEY.md §2.2):
 * padded value slots were uninitialized memory (``ell.c:147-151``) — here
@@ -22,7 +23,7 @@ from dataclasses import dataclass, field
 import numpy as np
 
 from spmv_tpu.device import DevPanel, x_to_table, y_from_padded
-from spmv_tpu.formats.base import DEFAULT_CHUNK, LANES, build_panel_plan, cdiv
+from spmv_tpu.formats.base import DEFAULT_CHUNK, build_panel_plan
 from spmv_tpu.kernels.engines import panel_spmv
 
 __all__ = ["EllMatrix"]
@@ -58,11 +59,7 @@ class EllMatrix:
             "shortest": int(lengths.min()) if nrows else 0,
             "longest": K,
         }
-        nblocks = cdiv(max(nrows, 1), LANES)
-        block_width = np.full(nblocks, max(K, 1), dtype=np.int64)
-        plan = build_panel_plan(
-            block_width, rows_s, cols_s, vals_s, nrows, ncols, chunk=chunk
-        )
+        plan = build_panel_plan(rows_s, cols_s, vals_s, nrows, ncols, chunk=chunk)
         return cls(
             nrows=nrows, ncols=ncols, nnz=rows.size, K=K,
             row_length_stats=stats, dev=DevPanel.from_plan(plan),
@@ -71,12 +68,12 @@ class EllMatrix:
     def padded_matvec(self, x2d):
         d = self.dev
         return panel_spmv(
-            d.vals, d.cols, d.sub_block, d.sub_wrow, x2d,
-            window_rows=d.window_rows, chunk=d.chunk, out_blocks=d.out_blocks,
+            d.vals, d.loc, d.sub_block, d.sub_base, x2d,
+            chunk=d.chunk, out_blocks=d.out_blocks,
         )
 
     def matvec(self, x):
-        x2d = x_to_table(x, self.ncols, self.dev.window_rows)
+        x2d = x_to_table(x, self.ncols)
         return y_from_padded(self.padded_matvec(x2d), self.nrows)
 
     __matmul__ = matvec

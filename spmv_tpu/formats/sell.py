@@ -82,19 +82,16 @@ class SellMatrix:
         invperm[perm] = np.arange(nrows_pad, dtype=np.int64)
 
         rows_sorted = invperm[rows]  # relabel rows into sorted space
-        order = np.lexsort((cols, rows_sorted))
-        rows_s = rows_sorted[order]
-        cols_s, vals_s = cols[order], vals[order]
 
-        # Per-slice (128-row block) padded width from sorted lengths.
+        # Per-slice (128-row block) padded width from sorted lengths —
+        # reported as the format's slice metadata; the device plan refines
+        # this to per-(slice, stripe) widths.
         nblocks = nrows_pad // LANES
         slens = lengths_pad[perm].reshape(nblocks, LANES)
         slice_widths = slens.max(axis=1)
-        block_width = np.maximum(slice_widths, 1)
 
-        plan = build_panel_plan(
-            block_width, rows_s, cols_s, vals_s, nrows_pad, ncols, chunk=chunk
-        )
+        plan = build_panel_plan(rows_sorted, cols, vals, nrows_pad, ncols,
+                                chunk=chunk)
 
         # Epilogue metadata: output block g reads y'[invperm[128g : 128g+128]],
         # all within the σ-window containing those rows.  Padded to a
@@ -115,8 +112,8 @@ class SellMatrix:
     def padded_matvec(self, x2d):
         d = self.dev
         y_sorted = panel_spmv(
-            d.vals, d.cols, d.sub_block, d.sub_wrow, x2d,
-            window_rows=d.window_rows, chunk=d.chunk, out_blocks=d.out_blocks,
+            d.vals, d.loc, d.sub_block, d.sub_base, x2d,
+            chunk=d.chunk, out_blocks=d.out_blocks,
         )
         nb = d.out_blocks
         y2 = y_sorted.reshape(nb, LANES)
@@ -126,7 +123,7 @@ class SellMatrix:
         return inverse_permute_blocks(self._perm_whi, self._perm_idx, y2)
 
     def matvec(self, x):
-        x2d = x_to_table(x, self.ncols, self.dev.window_rows)
+        x2d = x_to_table(x, self.ncols)
         return y_from_padded(self.padded_matvec(x2d), self.nrows)
 
     __matmul__ = matvec

@@ -4,15 +4,27 @@ These are the TPU-native replacements of the reference's five hand-written
 OpenCL kernels (``/root/reference/kernels/*.cl``).  Design and measured
 cost model in ``docs/DESIGN.md``.
 
-Engine 1 ``gather_rowsum``  — ELL / SELL-C-σ   (vs ``Ell.cl``, ``Sigma_C.cl``)
-Engine 2 ``segmented``      — CSR / COO / CMRS (vs ``Csr.cl``, ``Coo.cl``,
+Engine 1 ``panel_spmv``     — ELL / SELL-C-σ   (vs ``Ell.cl``, ``Sigma_C.cl``)
+Engine 2 ``segmented_spmv`` — CSR / COO / CMRS (vs ``Csr.cl``, ``Coo.cl``,
                                                  ``Cmrs.cl``)
 
-Both keep the dense vector x resident in VMEM as an (S,128) table and the
-whole y in VMEM as the pallas output, stream (vals, cols[, lid]) tiles from
-HBM via the grid pipeline, and resolve x[col] with a windowed select-gather
-(the only dynamic-gather forms Mosaic exposes are lane-gather with a
-128-entry table per sublane row and depth-8 sublane gather).
+Both stream (8,128) subtiles whose sublane rows are stripe-pure and whose
+rows are block-pure (see ``formats.base``), keep the whole x in VMEM as an
+(S,128) table and the whole y in VMEM as the pallas output, and resolve
+``x[col]`` with an **exact two-step gather**: one (8,128) window slice of
+the x table at the subtile's base stripe, a depth-8 sublane gather by the
+per-row stripe offset ``hi``, then a lane gather by the in-stripe column
+``lo`` (exact because ``hi`` is constant within each sublane row).  Both
+indices ride in a single uint16 ``loc = hi·128 + lo`` stream.
+
+Engine 2 additionally reduces each sublane row's contiguous row-segments
+with a **prefix-difference on the MXU**: ``cs = p @ triu(1)`` computes the
+inclusive lane prefix sums as one (8,128)×(128,128) matmul on the systolic
+array (``jnp.cumsum`` does not lower in Mosaic, and a Hillis-Steele VPU
+scan costs ~40 vector ops); the per-row sums are then
+``cs[gidx] − cs[pidx]`` with conversion-precomputed uint8 bounds.  Lane 0
+of every sublane row is a guaranteed zero pad, so ``pidx ≥ 0`` and absent
+segments (``gidx == pidx``) vanish without masking.
 
 The kernels run compiled on TPU and in interpreter mode elsewhere (CPU
 tests, multi-host simulation).
@@ -36,46 +48,24 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _windowed_gather(window, cols_rel, W: int):
-    """x-gather of an (8,128) subtile from a (W,128) VMEM window.
+def _gather_x(window, loc):
+    """Exact two-step x-gather of an (8,128) subtile from an (8,128) window.
 
-    ``cols_rel`` = col − 128·wrow; elements outside the window (possible
-    only for padding slots) read as 0.
+    ``loc = hi·128 + lo`` with ``hi`` constant within each sublane row, so
+    ``window[hi[r, lo[r,c]], lo[r,c]] == window[hi[r,c], lo[r,c]]``.
     """
-    hi = cols_rel >> 7
-    lo = cols_rel & (LANES - 1)
-    xg = jnp.zeros(cols_rel.shape, jnp.float32)
-    for k in range(W):
-        tbl = jnp.broadcast_to(window[k : k + 1, :], cols_rel.shape)
-        g = jnp.take_along_axis(tbl, lo, axis=1)
-        xg = jnp.where(hi == k, g, xg)
-    return xg
-
-
-def _segmented_lane_scan(v, keep):
-    """Inclusive *segmented* prefix sum along lanes: the sum resets at
-    segment heads (``keep`` is 0.0 at heads, 1.0 elsewhere).  jnp.cumsum
-    does not lower in Mosaic; Hillis-Steele over pltpu.roll does.  The
-    reset keeps fp32 error proportional to each segment's own magnitude
-    instead of the whole 128-lane prefix."""
-    col = jax.lax.broadcasted_iota(jnp.int32, v.shape, 1)
-    m = keep
-    sh = 1
-    while sh < v.shape[1]:
-        vr = pltpu.roll(v, sh, 1)
-        mr = pltpu.roll(m, sh, 1)
-        ok = col >= sh
-        v = v + jnp.where(ok, m * vr, 0.0)
-        m = jnp.where(ok, m * mr, m)
-        sh *= 2
-    return v
+    loc = loc.astype(jnp.int32)
+    hi = loc >> 7
+    lo = loc & (LANES - 1)
+    t = jnp.take_along_axis(window, hi, axis=0)  # depth-8 sublane gather
+    return jnp.take_along_axis(t, lo, axis=1)  # per-row lane gather
 
 
 # ---------------------------------------------------------------- engine 1
 
 
-def _panel_kernel(W: int, chunk: int, sub_block_ref, sub_wrow_ref,
-                  vals_ref, cols_ref, x_ref, o_ref):
+def _panel_kernel(chunk: int, sub_block_ref, sub_base_ref,
+                  vals_ref, loc_ref, x_ref, o_ref):
     step = pl.program_id(0)
 
     @pl.when(step == 0)
@@ -86,23 +76,21 @@ def _panel_kernel(W: int, chunk: int, sub_block_ref, sub_wrow_ref,
     for s in range(nsub):
         g = step * nsub + s
         b = sub_block_ref[g]
-        wr = sub_wrow_ref[g]
-        window = x_ref[pl.ds(wr, W), :]
-        cols = cols_ref[s * SUBLANES : (s + 1) * SUBLANES, :]
-        vals = vals_ref[s * SUBLANES : (s + 1) * SUBLANES, :]
-        xg = _windowed_gather(window, cols - wr * LANES, W)
-        part = jnp.sum(vals * xg, axis=0, keepdims=True)  # (1,128)
+        window = x_ref[pl.ds(sub_base_ref[g], SUBLANES), :]
+        xg = _gather_x(window, loc_ref[s * SUBLANES : (s + 1) * SUBLANES, :])
+        p = vals_ref[s * SUBLANES : (s + 1) * SUBLANES, :] * xg
+        part = jnp.sum(p, axis=0, keepdims=True)  # (1,128) per-y-row sums
         off = pl.multiple_of(b * LANES, LANES)
         o_ref[0:1, pl.ds(off, LANES)] += part
 
 
-@functools.partial(jax.jit, static_argnames=("window_rows", "chunk", "out_blocks"))
-def panel_spmv(vals, cols, sub_block, sub_wrow, x2d, *,
-               window_rows: int, chunk: int, out_blocks: int):
-    """Engine 1: y(1, 128·out_blocks) = A·x over flat padded row panels."""
+@functools.partial(jax.jit, static_argnames=("chunk", "out_blocks"))
+def panel_spmv(vals, loc, sub_block, sub_base, x2d, *,
+               chunk: int, out_blocks: int):
+    """Engine 1: y(1, 128·out_blocks) = A·x over stripe-pure mini-panels."""
     TR = vals.shape[0]
     grid = (TR // chunk,)
-    kernel = functools.partial(_panel_kernel, window_rows, chunk)
+    kernel = functools.partial(_panel_kernel, chunk)
     return pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -119,58 +107,53 @@ def panel_spmv(vals, cols, sub_block, sub_wrow, x2d, *,
         ),
         out_shape=jax.ShapeDtypeStruct((1, out_blocks * LANES), jnp.float32),
         interpret=_interpret(),
-    )(sub_block, sub_wrow, vals, cols, x2d)
+    )(sub_block, sub_base, vals, loc, x2d)
 
 
 # ---------------------------------------------------------------- engine 2
 
 
-def _seg_kernel(W: int, chunk: int, sub_block_ref, sub_wrow_ref,
-                vals_ref, cols_ref, ends_ref, x_ref, o_ref):
+def _seg_kernel(chunk: int, sub_block_ref, sub_base_ref,
+                vals_ref, loc_ref, gidx_ref, pidx_ref, x_ref, o_ref):
     step = pl.program_id(0)
 
     @pl.when(step == 0)
     def _():
         o_ref[:] = jnp.zeros_like(o_ref)
 
+    # Upper-triangular ones: cs = p @ U is the inclusive lane prefix sum,
+    # computed on the MXU.  Traced once per grid step.
+    rk = jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 0)
+    ck = jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 1)
+    U = (rk <= ck).astype(jnp.float32)
+
     nsub = chunk // SUBLANES
     for s in range(nsub):
         g = step * nsub + s
         b = sub_block_ref[g]
-        wr = sub_wrow_ref[g]
-        window = x_ref[pl.ds(wr, W), :]
-        cols_enc = cols_ref[s * SUBLANES : (s + 1) * SUBLANES, :]
-        vals = vals_ref[s * SUBLANES : (s + 1) * SUBLANES, :]
-        keep = jnp.where(cols_enc < 0, 0.0, 1.0)  # sign bit = segment head
-        cols = cols_enc & jnp.int32(2**31 - 1)
-        xg = _windowed_gather(window, cols - wr * LANES, W)
-        p = vals * xg  # (8,128) products, row-major nnz order
-
-        # Row-local segmented reduction: within each sublane row, a segment
-        # (= block-local y row) is contiguous; the resetting scan makes the
-        # value at a segment's last position its exact per-row sum, read
-        # back at end positions E (uint8, [0,128]).
-        cs = _segmented_lane_scan(p, keep)
-        e = ends_ref[s * SUBLANES : (s + 1) * SUBLANES, :].astype(jnp.int32)
-        idx = jnp.maximum(e - 1, 0)
-        a = jnp.take_along_axis(cs, idx, axis=1)  # seg-sum at E_r[j]-1
-        eprev = pltpu.roll(e, 1, 1)
-        lane = jax.lax.broadcasted_iota(jnp.int32, e.shape, 1)
-        eprev = jnp.where(lane == 0, 0, eprev)
-        a = jnp.where(e > eprev, a, 0.0)  # row j present in this sublane row
-        part = jnp.sum(a, axis=0, keepdims=True)  # (1,128)
-
+        window = x_ref[pl.ds(sub_base_ref[g], SUBLANES), :]
+        xg = _gather_x(window, loc_ref[s * SUBLANES : (s + 1) * SUBLANES, :])
+        p = vals_ref[s * SUBLANES : (s + 1) * SUBLANES, :] * xg
+        # HIGHEST: the MXU's default f32 path rounds operands to bf16; the
+        # prefix sums must keep full f32 mantissa.
+        cs = jnp.dot(p, U, preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)
+        gi = gidx_ref[s * SUBLANES : (s + 1) * SUBLANES, :].astype(jnp.int32)
+        pi = pidx_ref[s * SUBLANES : (s + 1) * SUBLANES, :].astype(jnp.int32)
+        seg_end = jnp.take_along_axis(cs, gi, axis=1)
+        seg_pre = jnp.take_along_axis(cs, pi, axis=1)
+        part = jnp.sum(seg_end - seg_pre, axis=0, keepdims=True)  # (1,128)
         off = pl.multiple_of(b * LANES, LANES)
         o_ref[0:1, pl.ds(off, LANES)] += part
 
 
-@functools.partial(jax.jit, static_argnames=("window_rows", "chunk", "out_blocks"))
-def segmented_spmv(vals, cols, ends, sub_block, sub_wrow, x2d, *,
-                   window_rows: int, chunk: int, out_blocks: int):
-    """Engine 2: segmented-reduction SpMV over 1024-nnz tiles."""
+@functools.partial(jax.jit, static_argnames=("chunk", "out_blocks"))
+def segmented_spmv(vals, loc, gidx, pidx, sub_block, sub_base, x2d, *,
+                   chunk: int, out_blocks: int):
+    """Engine 2: MXU-prefix segmented-reduction SpMV over 1024-nnz tiles."""
     TM = vals.shape[0]
     grid = (TM // chunk,)
-    kernel = functools.partial(_seg_kernel, window_rows, chunk)
+    kernel = functools.partial(_seg_kernel, chunk)
     return pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -183,13 +166,15 @@ def segmented_spmv(vals, cols, ends, sub_block, sub_wrow, x2d, *,
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((chunk, LANES), lambda i, *_: (i, 0),
                              memory_space=pltpu.VMEM),
+                pl.BlockSpec((chunk, LANES), lambda i, *_: (i, 0),
+                             memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pltpu.VMEM),
             ],
             out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         ),
         out_shape=jax.ShapeDtypeStruct((1, out_blocks * LANES), jnp.float32),
         interpret=_interpret(),
-    )(sub_block, sub_wrow, vals, cols, ends, x2d)
+    )(sub_block, sub_base, vals, loc, gidx, pidx, x2d)
 
 
 # ------------------------------------------------------- permute epilogue

@@ -114,3 +114,11 @@ def fp32_rel_tol(max_row_nnz: int) -> float:
     use a conservative linear-in-k bound with headroom."""
     k = max(int(max_row_nnz), 1)
     return 32.0 * np.finfo(np.float32).eps * np.sqrt(k)
+
+
+def engine_rel_tol(max_row_nnz: int) -> float:
+    """Tolerance for the device engines.  The segmented engine reduces each
+    row's pieces as differences of 127-element sublane-window prefix sums
+    (MXU prefix, see kernels.engines), so its rounding scales with the
+    window, not the row — use k = max(row length, 127)."""
+    return fp32_rel_tol(max(int(max_row_nnz), 127))

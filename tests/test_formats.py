@@ -7,7 +7,7 @@ import pytest
 
 import spmv_tpu
 from spmv_tpu import synth
-from spmv_tpu.oracle import check_result, fp32_rel_tol, golden_spmv
+from spmv_tpu.oracle import check_result, engine_rel_tol, golden_spmv
 
 FORMATS = ["coo", "csr", "ell", "sell", "cmrs"]
 EDGES = sorted(synth.EDGE_CASES)
@@ -25,7 +25,7 @@ def run_format(fmt, info, r, c, v, x=None):
     lengths = np.bincount(r, minlength=info.nrows) if r.size else np.zeros(1)
     rep = check_result(
         expected, y, tol_abs=1e-5, scale=scale,
-        tol_rel=fp32_rel_tol(int(lengths.max() or 1)),
+        tol_rel=engine_rel_tol(int(lengths.max() or 1)),
     )
     assert rep.ok, f"{fmt}: {rep}"
     return a
