@@ -115,7 +115,8 @@ def bench_format(
 
     ms = t * 1e3
     nnz = a.dev.nnz
-    padded = a.dev.vals.shape[0] * LANES
+    # device-resident padded slots (plan padding + superchunk padding)
+    padded = a.dev.vals[0].shape[0] * a.dev.kv * LANES
     bpn = bytes_per_slot(a) * padded / max(nnz, 1)
     eff_gbps = bpn * nnz / t / 1e9
     bw = hbm_bw if hbm_bw else V5E_HBM_BW

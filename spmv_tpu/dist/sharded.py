@@ -14,16 +14,16 @@ the framework's scaling dimension, per BASELINE.json's north star:
   computes a full-length partial y, and ``psum``s — the tensor-parallel
   analog for SpMV.
 
-All shards share identical static shapes (plans are padded to the max
-across shards), so one jitted shard_map serves every device.  Works on a
-CPU mesh (``--xla_force_host_platform_device_count``) with the kernels in
-interpret mode — that is how the tests and the driver's multi-chip dry
-run execute.
+All shards share identical static shapes and one device-stream geometry
+(plans padded to the max across shards, then split into the concurrent-DMA
+arrays of ``spmv_tpu.device``), so one jitted shard_map serves every
+device.  Works on a CPU mesh (``--xla_force_host_platform_device_count``)
+with the kernels in interpret mode — that is how the tests and the
+driver's multi-chip dry run execute.
 """
 
 from __future__ import annotations
 
-import functools
 from dataclasses import dataclass
 
 import jax
@@ -32,13 +32,18 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
-from spmv_tpu.device import DevSeg, x_table_rows
+from spmv_tpu.device import (
+    DevPanel,
+    DevSeg,
+    pick_geometry,
+    split_plan_arrays,
+    x_table_rows,
+)
 from spmv_tpu.formats.base import LANES, cdiv, round_up
 from spmv_tpu.kernels.engines import panel_spmv, segmented_spmv
 
 __all__ = ["RowShardedSpmv", "ColShardedSpmv"]
 
-_SEG_FORMATS = {"coo", "csr", "cmrs"}
 _PANEL_FORMATS = {"ell", "sell", "sell_c_sigma"}
 
 
@@ -50,24 +55,47 @@ def _pad_rows(arr: np.ndarray, target: int) -> np.ndarray:
 
 
 def _unify_plans(shards):
-    """Pad per-shard device arrays to common shapes (pad rows are all-zero
-    subtiles that accumulate 0 into block 0)."""
-    arrays = {}
-    names = ["vals", "loc", "sub_block", "sub_base"]
-    if isinstance(shards[0].dev, DevSeg):
-        names += ["gidx", "pidx"]
-    for name in names:
-        mats = [np.asarray(getattr(s.dev, name)) for s in shards]
-        tr = max(m.shape[0] for m in mats)
-        arrays[name] = np.stack([_pad_rows(m, tr) for m in mats])
-    return arrays
+    """Pad per-shard plan arrays to one shape, pick a common device-stream
+    geometry, split, and stack shard-major.  Pad rows are inert all-zero
+    subtiles (they accumulate 0 into block 0)."""
+    is_seg = hasattr(shards[0].plan, "gidx")
+    names = ["vals", "loc"] + (["gidx", "pidx"] if is_seg else [])
+    tm = max(s.plan.vals.shape[0] for s in shards)
+    chunk, kv = pick_geometry(tm)
+    stacked: dict[str, list] = {}
+    for s in shards:
+        arrays = {n: _pad_rows(getattr(s.plan, n), tm) for n in names}
+        arrays["sub_block"] = s.plan.sub_block
+        arrays["sub_base"] = s.plan.sub_base
+        split = split_plan_arrays(arrays, chunk, kv)
+        for k, v in split.items():
+            stacked.setdefault(k, []).append(v)
+    return ({k: np.stack(v) for k, v in stacked.items()}, chunk, kv, is_seg)
+
+
+def _make_dev(arrays: dict, statics: "_ShardStatics"):
+    """Rebuild a Dev container from per-shard array slices (jit-traceable)."""
+    def tup(name, k):
+        return tuple(arrays[f"{name}{j}"] for j in range(k))
+
+    kv = statics.kv
+    kl, kg = max(kv // 2, 1), max(kv // 4, 1)
+    common = dict(sub_block=arrays["sub_block"], sub_base=arrays["sub_base"],
+                  chunk=statics.chunk, kv=kv,
+                  nrows=statics.rows_per_shard if statics.is_row else statics.nrows,
+                  ncols=statics.ncols, nnz=0)
+    if statics.is_seg:
+        return DevSeg(vals=tup("vals", kv), loc=tup("loc", kl),
+                      gidx=tup("gidx", kg), pidx=tup("pidx", kg), **common)
+    return DevPanel(vals=tup("vals", kv), loc=tup("loc", kl), **common)
 
 
 @dataclass
 class _ShardStatics:
     chunk: int
-    out_blocks: int
+    kv: int
     is_seg: bool
+    is_row: bool
     nrows: int
     ncols: int
     rows_per_shard: int
@@ -104,22 +132,15 @@ class RowShardedSpmv:
                 cls.from_coo(rps, ncols, rows[sel] - lo, cols[sel], vals[sel],
                              **fmt_kwargs)
             )
-        self.arrays_np = _unify_plans(shards)
-        self.is_seg = isinstance(shards[0].dev, DevSeg)
+        arrays, chunk, kv, self.is_seg = _unify_plans(shards)
         self.st = _ShardStatics(
-            chunk=shards[0].dev.chunk,
-            out_blocks=rps // LANES,
-            is_seg=self.is_seg,
-            nrows=nrows,
-            ncols=ncols,
-            rows_per_shard=rps,
-            n_shards=D,
+            chunk=chunk, kv=kv, is_seg=self.is_seg, is_row=True,
+            nrows=nrows, ncols=ncols, rows_per_shard=rps, n_shards=D,
         )
         self.gather_x = gather_x
         sharded = NamedSharding(mesh, P(self.axis))
         self.arrays = {
-            k: jax.device_put(jnp.asarray(v), sharded)
-            for k, v in self.arrays_np.items()
+            k: jax.device_put(jnp.asarray(v), sharded) for k, v in arrays.items()
         }
         # x table rows, padded so the shard axis divides evenly when sharded.
         self.S = x_table_rows(ncols)
@@ -138,16 +159,10 @@ class RowShardedSpmv:
                 x2d = jax.lax.all_gather(x_local, axis, axis=0, tiled=True)
             else:
                 x2d = x_local
+            dev = _make_dev(a, st)
             if st.is_seg:
-                y = segmented_spmv(
-                    a["vals"], a["loc"], a["gidx"], a["pidx"],
-                    a["sub_block"], a["sub_base"], x2d,
-                    chunk=st.chunk, out_blocks=st.out_blocks)
-            else:
-                y = panel_spmv(
-                    a["vals"], a["loc"], a["sub_block"], a["sub_base"], x2d,
-                    chunk=st.chunk, out_blocks=st.out_blocks)
-            return y
+                return segmented_spmv(dev, x2d)
+            return panel_spmv(dev, x2d)
 
         xspec = P(axis, None) if gather_x else P()
         fn = shard_map(
@@ -202,21 +217,14 @@ class ColShardedSpmv:
                 cls.from_coo(nrows, cps, rows[sel], cols[sel] - lo, vals[sel],
                              **fmt_kwargs)
             )
-        self.arrays_np = _unify_plans(shards)
-        self.is_seg = isinstance(shards[0].dev, DevSeg)
+        arrays, chunk, kv, self.is_seg = _unify_plans(shards)
         self.st = _ShardStatics(
-            chunk=shards[0].dev.chunk,
-            out_blocks=cdiv(max(nrows, 1), LANES),
-            is_seg=self.is_seg,
-            nrows=nrows,
-            ncols=ncols,
-            rows_per_shard=cps,  # columns per shard, reusing the field
-            n_shards=D,
+            chunk=chunk, kv=kv, is_seg=self.is_seg, is_row=False,
+            nrows=nrows, ncols=ncols, rows_per_shard=cps, n_shards=D,
         )
         sharded = NamedSharding(mesh, P(self.axis))
         self.arrays = {
-            k: jax.device_put(jnp.asarray(v), sharded)
-            for k, v in self.arrays_np.items()
+            k: jax.device_put(jnp.asarray(v), sharded) for k, v in arrays.items()
         }
         self.S_local = x_table_rows(cps)
         self.cps = cps
@@ -232,15 +240,11 @@ class ColShardedSpmv:
             xf = x_local[0]  # (cps,)
             xf = jnp.pad(xf, (0, S_local * LANES - xf.shape[0]))
             x2d = xf.reshape(S_local, LANES)
+            dev = _make_dev(a, st)
             if st.is_seg:
-                y = segmented_spmv(
-                    a["vals"], a["loc"], a["gidx"], a["pidx"],
-                    a["sub_block"], a["sub_base"], x2d,
-                    chunk=st.chunk, out_blocks=st.out_blocks)
+                y = segmented_spmv(dev, x2d)
             else:
-                y = panel_spmv(
-                    a["vals"], a["loc"], a["sub_block"], a["sub_base"], x2d,
-                    chunk=st.chunk, out_blocks=st.out_blocks)
+                y = panel_spmv(dev, x2d)
             return jax.lax.psum(y, axis)
 
         fn = shard_map(

@@ -39,6 +39,7 @@ class CMRSMatrix:
     cols: np.ndarray  # (nnz,) int32, CSR order
     vals: np.ndarray  # (nnz,)
     dev: DevSeg = field(repr=False)
+    plan: object = field(repr=False, default=None)  # SegPlan (host arrays)
 
     @classmethod
     def from_coo(
@@ -102,7 +103,7 @@ class CMRSMatrix:
             nrows=nrows, ncols=ncols, height=height,
             strip_ptr=strip_ptr, row_in_strip=np.asarray(row_in_strip, dtype=np.int8),
             cols=np.asarray(cols, dtype=np.int32), vals=np.asarray(vals),
-            dev=DevSeg.from_plan(plan),
+            dev=DevSeg.from_plan(plan), plan=plan,
         )
 
     @property
@@ -114,11 +115,7 @@ class CMRSMatrix:
         return self.strip_ptr.size - 1
 
     def padded_matvec(self, x2d):
-        d = self.dev
-        return segmented_spmv(
-            d.vals, d.loc, d.gidx, d.pidx, d.sub_block, d.sub_base, x2d,
-            chunk=d.chunk, out_blocks=d.out_blocks,
-        )
+        return segmented_spmv(self.dev, x2d)
 
     def matvec(self, x):
         x2d = x_to_table(x, self.ncols)

@@ -34,6 +34,7 @@ class COOMatrix:
     cols: np.ndarray
     vals: np.ndarray
     dev: DevSeg = field(repr=False)
+    plan: object = field(repr=False, default=None)  # SegPlan (host arrays)
 
     @classmethod
     def from_coo(
@@ -61,6 +62,7 @@ class COOMatrix:
             cols=cols,
             vals=vals,
             dev=DevSeg.from_plan(plan),
+            plan=plan,
         )
 
     @property
@@ -69,11 +71,7 @@ class COOMatrix:
 
     # jit-composable padded form -------------------------------------------------
     def padded_matvec(self, x2d):
-        d = self.dev
-        return segmented_spmv(
-            d.vals, d.loc, d.gidx, d.pidx, d.sub_block, d.sub_base, x2d,
-            chunk=d.chunk, out_blocks=d.out_blocks,
-        )
+        return segmented_spmv(self.dev, x2d)
 
     def matvec(self, x):
         x2d = x_to_table(x, self.ncols)

@@ -32,6 +32,7 @@ class CSRMatrix:
     cols: np.ndarray  # (nnz,) int32, row-major
     vals: np.ndarray  # (nnz,)
     dev: DevSeg = field(repr=False)
+    plan: object = field(repr=False, default=None)  # SegPlan (host arrays)
 
     @classmethod
     def from_coo(
@@ -70,7 +71,7 @@ class CSRMatrix:
         return cls(
             nrows=nrows, ncols=ncols, ptr=ptr,
             cols=np.asarray(cols, dtype=np.int32), vals=np.asarray(vals),
-            dev=DevSeg.from_plan(plan),
+            dev=DevSeg.from_plan(plan), plan=plan,
         )
 
     @property
@@ -78,11 +79,7 @@ class CSRMatrix:
         return self.cols.size
 
     def padded_matvec(self, x2d):
-        d = self.dev
-        return segmented_spmv(
-            d.vals, d.loc, d.gidx, d.pidx, d.sub_block, d.sub_base, x2d,
-            chunk=d.chunk, out_blocks=d.out_blocks,
-        )
+        return segmented_spmv(self.dev, x2d)
 
     def matvec(self, x):
         x2d = x_to_table(x, self.ncols)

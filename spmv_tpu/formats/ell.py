@@ -37,6 +37,7 @@ class EllMatrix:
     K: int  # max row length (the ELL width)
     row_length_stats: dict  # average / shortest / longest (ell.c:103-104)
     dev: DevPanel = field(repr=False)
+    plan: object = field(repr=False, default=None)  # PanelPlan (host arrays)
 
     @classmethod
     def from_coo(
@@ -62,15 +63,11 @@ class EllMatrix:
         plan = build_panel_plan(rows_s, cols_s, vals_s, nrows, ncols, chunk=chunk)
         return cls(
             nrows=nrows, ncols=ncols, nnz=rows.size, K=K,
-            row_length_stats=stats, dev=DevPanel.from_plan(plan),
+            row_length_stats=stats, dev=DevPanel.from_plan(plan), plan=plan,
         )
 
     def padded_matvec(self, x2d):
-        d = self.dev
-        return panel_spmv(
-            d.vals, d.loc, d.sub_block, d.sub_base, x2d,
-            chunk=d.chunk, out_blocks=d.out_blocks,
-        )
+        return panel_spmv(self.dev, x2d)
 
     def matvec(self, x):
         x2d = x_to_table(x, self.ncols)

@@ -42,6 +42,7 @@ class SellMatrix:
     sigma: int
     slice_widths: np.ndarray  # per-slice padded K (slices of C=128 rows)
     dev: DevPanel = field(repr=False)
+    plan: object = field(repr=False, default=None)  # PanelPlan (host arrays)
     # permutation metadata for the y epilogue
     _perm_whi: object = field(repr=False, default=None)  # jnp (NB,)
     _perm_idx: object = field(repr=False, default=None)  # jnp (NB,128)
@@ -106,15 +107,13 @@ class SellMatrix:
         return cls(
             nrows=nrows, ncols=ncols, nnz=rows.size, sigma=sigma,
             slice_widths=slice_widths, dev=DevPanel.from_plan(plan),
+            plan=plan,
             _perm_whi=jnp.asarray(whi), _perm_idx=jnp.asarray(idx),
         )
 
     def padded_matvec(self, x2d):
         d = self.dev
-        y_sorted = panel_spmv(
-            d.vals, d.loc, d.sub_block, d.sub_base, x2d,
-            chunk=d.chunk, out_blocks=d.out_blocks,
-        )
+        y_sorted = panel_spmv(d, x2d)
         nb = d.out_blocks
         y2 = y_sorted.reshape(nb, LANES)
         if nb < 8:  # epilogue windows always slice 8 table rows

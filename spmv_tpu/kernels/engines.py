@@ -8,23 +8,29 @@ Engine 1 ``panel_spmv``     — ELL / SELL-C-σ   (vs ``Ell.cl``, ``Sigma_C.cl``
 Engine 2 ``segmented_spmv`` — CSR / COO / CMRS (vs ``Csr.cl``, ``Coo.cl``,
                                                  ``Cmrs.cl``)
 
-Both stream (8,128) subtiles whose sublane rows are stripe-pure and whose
-rows are block-pure (see ``formats.base``), keep the whole x in VMEM as an
-(S,128) table and the whole y in VMEM as the pallas output, and resolve
-``x[col]`` with an **exact two-step gather**: one (8,128) window slice of
-the x table at the subtile's base stripe, a depth-8 sublane gather by the
-per-row stripe offset ``hi``, then a lane gather by the in-stripe column
-``lo`` (exact because ``hi`` is constant within each sublane row).  Both
-indices ride in a single uint16 ``loc = hi·128 + lo`` stream.
+Memory system (the measured constraint that shapes everything): the Pallas
+grid pipeline streams ~67 GB/s per input array but scales with distinct
+arrays, so each plan stream arrives pre-split into several interleaved
+device arrays (see ``spmv_tpu.device``); one grid step consumes a
+**superchunk** of ``KV·chunk`` sublane rows via 2·KV concurrent DMAs.
 
-Engine 2 additionally reduces each sublane row's contiguous row-segments
-with a **prefix-difference on the MXU**: ``cs = p @ triu(1)`` computes the
-inclusive lane prefix sums as one (8,128)×(128,128) matmul on the systolic
-array (``jnp.cumsum`` does not lower in Mosaic, and a Hillis-Steele VPU
-scan costs ~40 vector ops); the per-row sums are then
-``cs[gidx] − cs[pidx]`` with conversion-precomputed uint8 bounds.  Lane 0
-of every sublane row is a guaranteed zero pad, so ``pidx ≥ 0`` and absent
-segments (``gidx == pidx``) vanish without masking.
+Compute per chunk, fused at chunk width (per-subtile (8,128) op streams
+measured ~4-7 cycles/op; chunk-wide ops pipeline properly):
+
+* x-gather: per subtile one (8,128) window slice of the VMEM-resident
+  x table + depth-8 sublane gather by the per-row stripe offset ``hi``;
+  then one chunk-wide lane gather by the in-stripe column ``lo`` — exact
+  because ``hi`` is constant within each sublane row.  Both ride in one
+  uint16 ``loc = hi·128 + lo`` stream.
+* Engine 2 reduction: inclusive lane prefix sums as one chunk-wide matmul
+  against upper-triangular ones on the MXU (full-f32 precision —
+  ``jnp.cumsum`` does not lower in Mosaic and a VPU scan costs ~40 vector
+  ops); per-row segment sums are ``cs[gidx] − cs[pidx]`` with
+  conversion-precomputed uint8 bounds (lane 0 of every sublane row is a
+  guaranteed zero pad, so no masking).
+* Per-subtile 8-row sums via a block-diagonal 0/1 matmul (MXU) instead of
+  a 3-D reshape-reduce, then one dynamic 128-lane accumulate into the
+  whole-y-in-VMEM output per subtile.
 
 The kernels run compiled on TPU and in interpreter mode elsewhere (CPU
 tests, multi-host simulation).
@@ -43,138 +49,178 @@ from spmv_tpu.formats.base import LANES, SUBLANES
 
 __all__ = ["panel_spmv", "segmented_spmv", "inverse_permute_blocks"]
 
+_HIGHEST = jax.lax.Precision.HIGHEST
+
 
 def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _gather_x(window, loc):
-    """Exact two-step x-gather of an (8,128) subtile from an (8,128) window.
+def _triu_ones():
+    rk = jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 0)
+    ck = jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 1)
+    return (rk <= ck).astype(jnp.float32)
 
-    ``loc = hi·128 + lo`` with ``hi`` constant within each sublane row, so
-    ``window[hi[r, lo[r,c]], lo[r,c]] == window[hi[r,c], lo[r,c]]``.
-    """
-    loc = loc.astype(jnp.int32)
-    hi = loc >> 7
-    lo = loc & (LANES - 1)
-    t = jnp.take_along_axis(window, hi, axis=0)  # depth-8 sublane gather
-    return jnp.take_along_axis(t, lo, axis=1)  # per-row lane gather
+
+def _rowsum_matrix(chunk: int):
+    """Block-diagonal 0/1 (chunk/8, chunk): parts = R @ pieces sums each
+    subtile's 8 sublane rows on the MXU."""
+    nsub = chunk // SUBLANES
+    rt = jax.lax.broadcasted_iota(jnp.int32, (nsub, chunk), 0)
+    rc = jax.lax.broadcasted_iota(jnp.int32, (nsub, chunk), 1)
+    return jnp.logical_and(rc >= rt * SUBLANES,
+                           rc < (rt + 1) * SUBLANES).astype(jnp.float32)
+
+
+def _chunk_slice(refs, k: int, kv: int, chunk: int):
+    """Sub-chunk k's rows from a stream split into len(refs) arrays."""
+    per = kv // len(refs)
+    r = refs[k // per]
+    off = (k % per) * chunk
+    return r[off : off + chunk, :]
+
+
+def _gathered_products(vals_c, loc_c, x_ref, sub_base_ref, g0: int,
+                       chunk: int):
+    """p = vals · x[col] for one (chunk,128) sub-chunk."""
+    lo = loc_c & (LANES - 1)
+    hi = loc_c >> 7
+    ts = []
+    for s in range(chunk // SUBLANES):
+        w = x_ref[pl.ds(sub_base_ref[g0 + s], SUBLANES), :]
+        ts.append(jnp.take_along_axis(w, hi[s * SUBLANES:(s + 1) * SUBLANES, :],
+                                      axis=0))
+    T = jnp.concatenate(ts, axis=0)  # (chunk,128) per-row x windows
+    xg = jnp.take_along_axis(T, lo, axis=1)
+    return vals_c * xg
+
+
+def _accumulate(o_ref, parts, sub_block_ref, g0: int, nsub: int):
+    for s in range(nsub):
+        b = sub_block_ref[g0 + s]
+        off = pl.multiple_of(b * LANES, LANES)
+        o_ref[0:1, pl.ds(off, LANES)] += parts[s : s + 1, :]
 
 
 # ---------------------------------------------------------------- engine 1
 
 
-def _panel_kernel(chunk: int, sub_block_ref, sub_base_ref,
-                  vals_ref, loc_ref, x_ref, o_ref):
+def _panel_kernel(chunk: int, kv: int, sub_block_ref, sub_base_ref, *refs):
+    vals_refs = refs[:kv]
+    loc_refs = refs[kv : kv + max(kv // 2, 1)]
+    x_ref, o_ref = refs[-2], refs[-1]
     step = pl.program_id(0)
 
     @pl.when(step == 0)
     def _():
         o_ref[:] = jnp.zeros_like(o_ref)
 
+    R = _rowsum_matrix(chunk)
     nsub = chunk // SUBLANES
-    for s in range(nsub):
-        g = step * nsub + s
-        b = sub_block_ref[g]
-        window = x_ref[pl.ds(sub_base_ref[g], SUBLANES), :]
-        xg = _gather_x(window, loc_ref[s * SUBLANES : (s + 1) * SUBLANES, :])
-        p = vals_ref[s * SUBLANES : (s + 1) * SUBLANES, :] * xg
-        part = jnp.sum(p, axis=0, keepdims=True)  # (1,128) per-y-row sums
-        off = pl.multiple_of(b * LANES, LANES)
-        o_ref[0:1, pl.ds(off, LANES)] += part
+    for k in range(kv):
+        g0 = step * (kv * nsub) + k * nsub
+        loc_c = _chunk_slice(loc_refs, k, kv, chunk).astype(jnp.int32)
+        p = _gathered_products(vals_refs[k][:], loc_c, x_ref, sub_base_ref,
+                               g0, chunk)
+        parts = jnp.dot(R, p, preferred_element_type=jnp.float32,
+                        precision=_HIGHEST)
+        _accumulate(o_ref, parts, sub_block_ref, g0, nsub)
 
 
-@functools.partial(jax.jit, static_argnames=("chunk", "out_blocks"))
-def panel_spmv(vals, loc, sub_block, sub_base, x2d, *,
-               chunk: int, out_blocks: int):
+@jax.jit
+def panel_spmv(dev, x2d):
     """Engine 1: y(1, 128·out_blocks) = A·x over stripe-pure mini-panels."""
-    TR = vals.shape[0]
-    grid = (TR // chunk,)
-    kernel = functools.partial(_panel_kernel, chunk)
+    chunk, kv = dev.chunk, dev.kv
+    TM = dev.vals[0].shape[0] * kv
+    kernel = functools.partial(_panel_kernel, chunk, kv)
+    kl = max(kv // 2, 1)
+    in_specs = (
+        [pl.BlockSpec((chunk, LANES), lambda i, *_: (i, 0),
+                      memory_space=pltpu.VMEM)] * kv
+        + [pl.BlockSpec((chunk * kv // kl, LANES), lambda i, *_: (i, 0),
+                        memory_space=pltpu.VMEM)] * kl
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)]
+    )
     return pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
-            grid=grid,
-            in_specs=[
-                pl.BlockSpec((chunk, LANES), lambda i, *_: (i, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((chunk, LANES), lambda i, *_: (i, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pltpu.VMEM),
-            ],
+            grid=(TM // (chunk * kv),),
+            in_specs=in_specs,
             out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         ),
-        out_shape=jax.ShapeDtypeStruct((1, out_blocks * LANES), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((1, dev.out_blocks * LANES),
+                                       jnp.float32),
         interpret=_interpret(),
-    )(sub_block, sub_base, vals, loc, x2d)
+    )(dev.sub_block, dev.sub_base, *dev.vals, *dev.loc, x2d)
 
 
 # ---------------------------------------------------------------- engine 2
 
 
-def _seg_kernel(chunk: int, sub_block_ref, sub_base_ref,
-                vals_ref, loc_ref, gidx_ref, pidx_ref, x_ref, o_ref):
+def _seg_kernel(chunk: int, kv: int, sub_block_ref, sub_base_ref, *refs):
+    kl, kg = max(kv // 2, 1), max(kv // 4, 1)
+    vals_refs = refs[:kv]
+    loc_refs = refs[kv : kv + kl]
+    gidx_refs = refs[kv + kl : kv + kl + kg]
+    pidx_refs = refs[kv + kl + kg : kv + kl + 2 * kg]
+    x_ref, o_ref = refs[-2], refs[-1]
     step = pl.program_id(0)
 
     @pl.when(step == 0)
     def _():
         o_ref[:] = jnp.zeros_like(o_ref)
 
-    # Upper-triangular ones: cs = p @ U is the inclusive lane prefix sum,
-    # computed on the MXU.  Traced once per grid step.
-    rk = jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 0)
-    ck = jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 1)
-    U = (rk <= ck).astype(jnp.float32)
-
+    U = _triu_ones()
+    R = _rowsum_matrix(chunk)
     nsub = chunk // SUBLANES
-    for s in range(nsub):
-        g = step * nsub + s
-        b = sub_block_ref[g]
-        window = x_ref[pl.ds(sub_base_ref[g], SUBLANES), :]
-        xg = _gather_x(window, loc_ref[s * SUBLANES : (s + 1) * SUBLANES, :])
-        p = vals_ref[s * SUBLANES : (s + 1) * SUBLANES, :] * xg
-        # HIGHEST: the MXU's default f32 path rounds operands to bf16; the
-        # prefix sums must keep full f32 mantissa.
+    for k in range(kv):
+        g0 = step * (kv * nsub) + k * nsub
+        loc_c = _chunk_slice(loc_refs, k, kv, chunk).astype(jnp.int32)
+        p = _gathered_products(vals_refs[k][:], loc_c, x_ref, sub_base_ref,
+                               g0, chunk)
+        # Inclusive lane prefix on the MXU; HIGHEST keeps full f32 mantissa
+        # (the default f32 path rounds operands to bf16).
         cs = jnp.dot(p, U, preferred_element_type=jnp.float32,
-                     precision=jax.lax.Precision.HIGHEST)
-        gi = gidx_ref[s * SUBLANES : (s + 1) * SUBLANES, :].astype(jnp.int32)
-        pi = pidx_ref[s * SUBLANES : (s + 1) * SUBLANES, :].astype(jnp.int32)
-        seg_end = jnp.take_along_axis(cs, gi, axis=1)
-        seg_pre = jnp.take_along_axis(cs, pi, axis=1)
-        part = jnp.sum(seg_end - seg_pre, axis=0, keepdims=True)  # (1,128)
-        off = pl.multiple_of(b * LANES, LANES)
-        o_ref[0:1, pl.ds(off, LANES)] += part
+                     precision=_HIGHEST)
+        gi = _chunk_slice(gidx_refs, k, kv, chunk).astype(jnp.int32)
+        pi = _chunk_slice(pidx_refs, k, kv, chunk).astype(jnp.int32)
+        pieces = (jnp.take_along_axis(cs, gi, axis=1)
+                  - jnp.take_along_axis(cs, pi, axis=1))
+        parts = jnp.dot(R, pieces, preferred_element_type=jnp.float32,
+                        precision=_HIGHEST)
+        _accumulate(o_ref, parts, sub_block_ref, g0, nsub)
 
 
-@functools.partial(jax.jit, static_argnames=("chunk", "out_blocks"))
-def segmented_spmv(vals, loc, gidx, pidx, sub_block, sub_base, x2d, *,
-                   chunk: int, out_blocks: int):
-    """Engine 2: MXU-prefix segmented-reduction SpMV over 1024-nnz tiles."""
-    TM = vals.shape[0]
-    grid = (TM // chunk,)
-    kernel = functools.partial(_seg_kernel, chunk)
+@jax.jit
+def segmented_spmv(dev, x2d):
+    """Engine 2: MXU-prefix segmented-reduction SpMV over nnz tiles."""
+    chunk, kv = dev.chunk, dev.kv
+    TM = dev.vals[0].shape[0] * kv
+    kernel = functools.partial(_seg_kernel, chunk, kv)
+    kl, kg = max(kv // 2, 1), max(kv // 4, 1)
+    in_specs = (
+        [pl.BlockSpec((chunk, LANES), lambda i, *_: (i, 0),
+                      memory_space=pltpu.VMEM)] * kv
+        + [pl.BlockSpec((chunk * kv // kl, LANES), lambda i, *_: (i, 0),
+                        memory_space=pltpu.VMEM)] * kl
+        + [pl.BlockSpec((chunk * kv // kg, LANES), lambda i, *_: (i, 0),
+                        memory_space=pltpu.VMEM)] * (2 * kg)
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)]
+    )
     return pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
-            grid=grid,
-            in_specs=[
-                pl.BlockSpec((chunk, LANES), lambda i, *_: (i, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((chunk, LANES), lambda i, *_: (i, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((chunk, LANES), lambda i, *_: (i, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((chunk, LANES), lambda i, *_: (i, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pltpu.VMEM),
-            ],
+            grid=(TM // (chunk * kv),),
+            in_specs=in_specs,
             out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         ),
-        out_shape=jax.ShapeDtypeStruct((1, out_blocks * LANES), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((1, dev.out_blocks * LANES),
+                                       jnp.float32),
         interpret=_interpret(),
-    )(sub_block, sub_base, vals, loc, gidx, pidx, x2d)
+    )(dev.sub_block, dev.sub_base, *dev.vals, *dev.loc, *dev.gidx,
+      *dev.pidx, x2d)
 
 
 # ------------------------------------------------------- permute epilogue

@@ -134,4 +134,4 @@ def test_sell_padding_beats_ell_on_skewed():
     ell = spmv_tpu.EllMatrix.from_coo(info.nrows, info.ncols, r, c, v)
     sell = spmv_tpu.SellMatrix.from_coo(info.nrows, info.ncols, r, c, v,
                                         sigma=128)
-    assert sell.dev.vals.shape[0] <= ell.dev.vals.shape[0]
+    assert sell.plan.padded_slots <= ell.plan.padded_slots
