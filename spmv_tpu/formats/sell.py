@@ -34,6 +34,23 @@ __all__ = ["SellMatrix", "DEFAULT_SIGMA"]
 DEFAULT_SIGMA = 1024  # rows per sorting window; ≤ 1024 (8×128 gather window)
 
 
+def _panel_slots(rows, cols, nrows: int, ncols: int) -> int:
+    """Padded slot count of the striped panel layout for a row labelling:
+    Σ over (128-row block, 128-col stripe) of 128 · max-per-row count."""
+    if rows.size == 0:
+        return 0
+    nstripes = cdiv(max(ncols, 1), LANES)
+    rows = np.asarray(rows, np.int64)
+    cols = np.asarray(cols, np.int64)
+    # count per (block, stripe, row) then max over rows per (block, stripe)
+    grp = (rows >> 7) * nstripes * LANES + (cols >> 7) * LANES + (rows & (LANES - 1))
+    u, counts = np.unique(grp, return_counts=True)
+    bs, inv = np.unique(u // LANES, return_inverse=True)
+    widths = np.zeros(bs.size, dtype=np.int64)
+    np.maximum.at(widths, inv, counts)
+    return int(widths.sum()) * LANES
+
+
 @dataclass
 class SellMatrix:
     nrows: int
@@ -82,7 +99,19 @@ class SellMatrix:
         invperm = np.empty_like(perm)
         invperm[perm] = np.arange(nrows_pad, dtype=np.int64)
 
-        rows_sorted = invperm[rows]  # relabel rows into sorted space
+        # Adaptive σ: the sort only helps when it shrinks the padded panel.
+        # On matrices whose row order carries column locality (banded/FEM),
+        # permuting rows scatters each 128-row slice across stripes and
+        # *grows* per-(slice, stripe) widths — measure both and keep the
+        # smaller (the reference cannot do this: its σ-sort is a pre-sorted
+        # input file, ``sigma_c.c:44``).
+        if _panel_slots(invperm[rows], cols, nrows_pad, ncols) \
+                < _panel_slots(rows, cols, nrows_pad, ncols):
+            rows_sorted = invperm[rows]  # relabel rows into sorted space
+        else:
+            perm = np.arange(nrows_pad, dtype=np.int64)
+            invperm = perm
+            rows_sorted = rows
 
         # Per-slice (128-row block) padded width from sorted lengths —
         # reported as the format's slice metadata; the device plan refines
