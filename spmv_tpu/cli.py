@@ -44,13 +44,13 @@ def _make_x(mode: str, ncols: int, seed: int = 0) -> np.ndarray:
 
 
 def _validate(info, rows, cols, vals, x, y) -> tuple[bool, str]:
-    from spmv_tpu.oracle import check_result, fp32_rel_tol, golden_spmv
+    from spmv_tpu.oracle import check_result, engine_rel_tol, golden_spmv
 
     expected = golden_spmv(info.nrows, rows, cols, vals, x)
     scale = golden_spmv(info.nrows, rows, cols, np.abs(vals), np.abs(x))
     lengths = np.bincount(rows, minlength=max(info.nrows, 1)) if rows.size else np.zeros(1)
     rep = check_result(expected, y, tol_abs=1e-5, scale=scale,
-                       tol_rel=fp32_rel_tol(int(lengths.max() or 1)))
+                       tol_rel=engine_rel_tol(int(lengths.max() or 1)))
     return rep.ok, str(rep)
 
 
@@ -96,6 +96,22 @@ def cmd_run(args) -> int:
 def cmd_bench(args) -> int:
     import spmv_tpu
     from spmv_tpu.bench.runner import bench_format, measure_hbm_bw
+
+    if args.scaling:
+        from spmv_tpu.bench.scaling import weak_scaling_report
+
+        rep = weak_scaling_report(
+            format=args.formats if args.formats != "all" else "cmrs",
+            rows_per_device=args.rows_per_device)
+        tag = " (SIMULATED backend; numbers not meaningful)" if rep["simulated"] else ""
+        for pt in rep["points"]:
+            print(f"D={pt['devices']:3d}: {pt['ms_per_spmv']:7.3f} ms  "
+                  f"{pt['gnnz_per_s']:6.2f} Gnnz/s  "
+                  f"eff {pt['efficiency']:.2f}{tag}")
+        if args.json:
+            with open(args.json, "w") as f:
+                json.dump(rep, f, indent=2)
+        return ReturnCode.SUCCESS
 
     try:
         info, rows, cols, vals = _load(args)
@@ -160,6 +176,10 @@ def main(argv=None) -> int:
     b.add_argument("--formats", default="all")
     b.add_argument("--probe-bw", action="store_true",
                    help="measure HBM bandwidth for the roofline")
+    b.add_argument("--scaling", action="store_true",
+                   help="weak-scaling sweep over the available device mesh "
+                        "(--formats picks ONE format, default cmrs)")
+    b.add_argument("--rows-per-device", type=int, default=16384)
     b.add_argument("--json", default="")
     b.set_defaults(fn=cmd_bench)
 

@@ -69,3 +69,17 @@ def test_mesh_smaller_than_devices(mesh):
                        np.asarray(a.matvec(x)), tol_abs=1e-4, tol_rel=1e-4,
                        scale=golden_spmv(info.nrows, r, c, np.abs(v), np.abs(x)))
     assert rep.ok, str(rep)
+
+
+def test_weak_scaling_harness(mesh):
+    # Structure/plumbing test on the CPU mesh (timings are simulation).
+    from spmv_tpu.bench.scaling import weak_scaling_report
+
+    rep = weak_scaling_report(format="cmrs", rows_per_device=256,
+                              avg_nnz_per_row=6, bandwidth=30,
+                              device_counts=[1, 2])
+    assert rep["simulated"] is True
+    assert [p["devices"] for p in rep["points"]] == [1, 2]
+    assert rep["points"][0]["efficiency"] == 1.0
+    assert rep["points"][1]["nrows"] == 2 * rep["points"][0]["nrows"]
+    assert all(p["ms_per_spmv"] > 0 for p in rep["points"])
