@@ -40,7 +40,7 @@ def main():
 
     results = {}
     best = None
-    for fmt in ["csr", "coo", "ell", "sell", "cmrs"]:
+    for fmt in ["csr", "coo", "ell", "sell", "cmrs", "hyb"]:
         try:
             a = spmv_tpu.from_coo(fmt, info.nrows, info.ncols, rows, cols, vals)
             r = bench_format(a, fmt, hbm_bw=bw)

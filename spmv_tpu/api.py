@@ -13,6 +13,7 @@ from spmv_tpu.formats.cmrs import CMRSMatrix
 from spmv_tpu.formats.coo import COOMatrix
 from spmv_tpu.formats.csr import CSRMatrix
 from spmv_tpu.formats.ell import EllMatrix
+from spmv_tpu.formats.hyb import HybMatrix
 from spmv_tpu.formats.sell import SellMatrix
 
 __all__ = ["FORMATS", "from_coo", "load", "spmv"]
@@ -24,6 +25,7 @@ FORMATS = {
     "sell": SellMatrix,
     "sell_c_sigma": SellMatrix,
     "cmrs": CMRSMatrix,
+    "hyb": HybMatrix,  # framework extension: ELL panel + segmented spill
 }
 
 

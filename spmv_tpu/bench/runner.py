@@ -114,10 +114,9 @@ def bench_format(
     t = max((tb - ta) / (iters_b - iters_a), 1e-9)
 
     ms = t * 1e3
-    nnz = a.dev.nnz
-    # device-resident padded slots (plan padding + superchunk padding)
-    padded = a.dev.vals[0].shape[0] * a.dev.kv * LANES
-    bpn = bytes_per_slot(a) * padded / max(nnz, 1)
+    nnz = a.nnz
+    padded, total_bytes = traffic_model(a)
+    bpn = total_bytes / max(nnz, 1)
     eff_gbps = bpn * nnz / t / 1e9
     bw = hbm_bw if hbm_bw else V5E_HBM_BW
     return BenchResult(
@@ -144,6 +143,23 @@ def bytes_per_slot(a) -> float:
     from spmv_tpu.device import DevSeg
 
     return 8.0 if isinstance(a.dev, DevSeg) else 6.0
+
+
+def _dev_slots(dev) -> int:
+    """Device-resident padded slots (plan padding + superchunk padding)."""
+    return dev.vals[0].shape[0] * dev.kv * LANES
+
+
+def traffic_model(a) -> tuple[int, float]:
+    """(padded slots, HBM bytes) streamed per SpMV, including a HYB
+    container's segmented spill stream."""
+    slots = _dev_slots(a.dev)
+    total = bytes_per_slot(a) * slots
+    spill = getattr(a, "dev_spill", None)
+    if spill is not None:
+        slots += _dev_slots(spill)
+        total += 8.0 * _dev_slots(spill)
+    return slots, total
 
 
 def measure_hbm_bw(mb: int = 128, iters: int = 100) -> float:

@@ -24,7 +24,7 @@ import numpy as np
 
 from spmv_tpu.errors import ReturnCode
 
-ALL_FORMATS = ["coo", "csr", "ell", "sell", "cmrs"]
+ALL_FORMATS = ["coo", "csr", "ell", "sell", "cmrs", "hyb"]
 
 
 def _load(args):

@@ -9,7 +9,7 @@ import spmv_tpu
 from spmv_tpu import synth
 from spmv_tpu.oracle import check_result, engine_rel_tol, golden_spmv
 
-FORMATS = ["coo", "csr", "ell", "sell", "cmrs"]
+FORMATS = ["coo", "csr", "ell", "sell", "cmrs", "hyb"]
 EDGES = sorted(synth.EDGE_CASES)
 
 
