@@ -1,9 +1,14 @@
 """Converted-format caching.
 
 The reference re-parses the 60 MB .mtx text file from scratch on every run
-— three full parses per driver execution (SURVEY.md §3.5).  Here a
-converted device plan is saved once as ``.npz`` keyed by (file content
-fingerprint, format, conversion params) and reloaded in milliseconds.
+— three full parses per driver execution (SURVEY.md §3.5).  Two cache
+levels, both ``.npz``:
+
+* **triplets** keyed by a file content fingerprint (replaces the parse);
+* **device plans** keyed by a content hash of the builder inputs
+  (replaces the conversion) — enabled by :func:`set_plan_cache` and used
+  transparently by every ``build_*_plan`` call, including the sub-plans
+  HYB builds internally.
 """
 
 from __future__ import annotations
@@ -14,9 +19,55 @@ import os
 
 import numpy as np
 
-__all__ = ["cache_key", "save_plan", "load_plan", "cached_convert"]
+__all__ = ["cache_key", "save_plan", "load_plan", "cached_convert",
+           "set_plan_cache", "plan_lookup", "plan_store"]
 
-_CACHE_VERSION = 2  # bump when plan layouts change
+_CACHE_VERSION = 3  # bump when plan layouts change
+
+_PLAN_CACHE_DIR: str | None = None
+
+
+def set_plan_cache(cache_dir: str | None) -> None:
+    """Enable (or disable with None) transparent plan-build caching."""
+    global _PLAN_CACHE_DIR
+    _PLAN_CACHE_DIR = cache_dir
+
+
+def _plan_key(kind: str, rows, cols, vals, nrows: int, ncols: int,
+              chunk: int) -> str:
+    h = hashlib.sha256()
+    h.update(f"v{_CACHE_VERSION}|{kind}|{nrows}|{ncols}|{chunk}".encode())
+    for a in (rows, cols, vals):
+        a = np.ascontiguousarray(a)
+        h.update(str(a.dtype).encode())
+        h.update(a.tobytes())
+    return f"plan-{kind}-{h.hexdigest()[:24]}"
+
+
+def plan_lookup(kind: str, rows, cols, vals, nrows, ncols, chunk, plan_cls):
+    """Return the cached plan dataclass, or None (cache off / miss)."""
+    if _PLAN_CACHE_DIR is None:
+        return None
+    hit = load_plan(_PLAN_CACHE_DIR, _plan_key(kind, rows, cols, vals,
+                                               nrows, ncols, chunk))
+    if hit is None:
+        return None
+    meta, arrays = hit
+    return plan_cls(**arrays, **meta)
+
+
+def plan_store(kind: str, rows, cols, vals, nrows, ncols, chunk,
+               plan) -> None:
+    if _PLAN_CACHE_DIR is None:
+        return
+    from dataclasses import fields
+
+    meta, arrays = {}, {}
+    for f in fields(plan):
+        v = getattr(plan, f.name)
+        (arrays if isinstance(v, np.ndarray) else meta)[f.name] = v
+    save_plan(_PLAN_CACHE_DIR, _plan_key(kind, rows, cols, vals,
+                                         nrows, ncols, chunk), meta, arrays)
 
 
 def _fingerprint(path: str) -> str:
@@ -61,11 +112,8 @@ def load_plan(cache_dir: str, key: str):
 
 def cached_convert(path: str, format: str, cache_dir: str | None = None,
                    **fmt_kwargs):
-    """Load + convert with an npz cache of the raw triplets.
-
-    Caches the parsed COO triplets (format conversions are vectorized and
-    fast; parsing the text file dominates).  Returns the format container.
-    """
+    """Load + convert with npz caches of the raw triplets and the built
+    device plans.  Returns the format container."""
     from spmv_tpu.api import from_coo
     from spmv_tpu.io.mmio import read_path_or_synthesize
 
@@ -85,4 +133,9 @@ def cached_convert(path: str, format: str, cache_dir: str | None = None,
         nrows, ncols = info.nrows, info.ncols
         save_plan(cache_dir, key, {"nrows": nrows, "ncols": ncols},
                   {"rows": rows, "cols": cols, "vals": vals})
-    return from_coo(format, nrows, ncols, rows, cols, vals, **fmt_kwargs)
+    prev = _PLAN_CACHE_DIR
+    set_plan_cache(cache_dir)
+    try:
+        return from_coo(format, nrows, ncols, rows, cols, vals, **fmt_kwargs)
+    finally:
+        set_plan_cache(prev)

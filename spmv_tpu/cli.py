@@ -28,12 +28,36 @@ ALL_FORMATS = ["coo", "csr", "ell", "sell", "cmrs", "hyb"]
 
 
 def _load(args):
+    import os
+
     from spmv_tpu.io import mmio
+
+    if getattr(args, "cache_dir", ""):
+        # plan-build caching stays on for all conversions of this run
+        from spmv_tpu import cache
+        cache.set_plan_cache(args.cache_dir)
+        if os.path.exists(args.matrix):
+            key = cache.cache_key(args.matrix, "coo-triplets", {})
+            hit = cache.load_plan(args.cache_dir, key)
+            if hit is not None:
+                meta, arrays = hit
+                info = mmio.MMInfo("matrix", "coordinate", "real", "general",
+                                   meta["nrows"], meta["ncols"],
+                                   arrays["rows"].size)
+                return info, arrays["rows"], arrays["cols"], arrays["vals"]
 
     synth_kwargs = {}
     if args.synth_n:
         synth_kwargs = dict(n=args.synth_n)
-    return mmio.read_path_or_synthesize(args.matrix, **synth_kwargs)
+    out = mmio.read_path_or_synthesize(args.matrix, **synth_kwargs)
+    if getattr(args, "cache_dir", "") and os.path.exists(args.matrix):
+        info, rows, cols, vals = out
+        from spmv_tpu import cache
+        cache.save_plan(args.cache_dir,
+                        cache.cache_key(args.matrix, "coo-triplets", {}),
+                        {"nrows": info.nrows, "ncols": info.ncols},
+                        {"rows": rows, "cols": cols, "vals": vals})
+    return out
 
 
 def _make_x(mode: str, ncols: int, seed: int = 0) -> np.ndarray:
@@ -160,6 +184,10 @@ def main(argv=None) -> int:
                              "synthesized)")
         sp.add_argument("--synth-n", type=int, default=0,
                         help="synthesis size when the matrix file is absent")
+        sp.add_argument("--cache-dir", default="",
+                        help="npz cache for parsed triplets and built "
+                             "device plans (reference parity gap: it "
+                             "re-parses the 60MB file 3x per run)")
 
     r = sub.add_parser("run", help="one format end-to-end with validation")
     common(r)

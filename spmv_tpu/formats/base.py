@@ -190,12 +190,18 @@ def build_seg_plan(
 ) -> SegPlan:
     """Pack COO triplets (any order; duplicates sum in-kernel) into the
     stripe-pure segmented stream."""
+    from spmv_tpu import cache as _cache
+
     rows = np.asarray(rows, dtype=np.int64)
     cols = np.asarray(cols, dtype=np.int64)
     vals = np.asarray(vals)
     nnz = rows.size
     if nnz == 0:
         return _empty_seg(nrows, ncols, chunk)
+    hit = _cache.plan_lookup("seg", rows, cols, vals, nrows, ncols, chunk,
+                             SegPlan)
+    if hit is not None:
+        return hit
     S = x_stripes(ncols)
 
     blk = rows >> 7
@@ -253,11 +259,13 @@ def build_seg_plan(
     gidx[hrow, hlid] = g_last_pos
     pidx[hrow, hlid] = g_first_pos - 1
 
-    return SegPlan(
+    plan = SegPlan(
         vals=v2d, loc=loc2d, gidx=gidx, pidx=pidx,
         sub_block=sub_block, sub_base=sub_base,
         nrows=nrows, ncols=ncols, nnz=nnz, chunk=chunk,
     )
+    _cache.plan_store("seg", rows, cols, vals, nrows, ncols, chunk, plan)
+    return plan
 
 
 def build_panel_plan(
@@ -278,12 +286,18 @@ def build_panel_plan(
     with explicit zeros (the reference left ELL pad values uninitialized,
     ``ell.c:147-151``).
     """
+    from spmv_tpu import cache as _cache
+
     rows = np.asarray(rows, dtype=np.int64)
     cols = np.asarray(cols, dtype=np.int64)
     vals = np.asarray(vals)
     nnz = rows.size
     if nnz == 0:
         return _empty_panel(nrows, ncols, chunk)
+    hit = _cache.plan_lookup("panel", rows, cols, vals, nrows, ncols, chunk,
+                             PanelPlan)
+    if hit is not None:
+        return hit
     S = x_stripes(ncols)
 
     blk = rows >> 7
@@ -333,7 +347,9 @@ def build_panel_plan(
     v2d[final_row, lane] = v
     loc2d[final_row, lane] = (hi * LANES + (c & (LANES - 1))).astype(np.uint16)
 
-    return PanelPlan(
+    plan = PanelPlan(
         vals=v2d, loc=loc2d, sub_block=sub_block, sub_base=sub_base,
         nrows=nrows, ncols=ncols, nnz=nnz, chunk=chunk,
     )
+    _cache.plan_store("panel", rows, cols, vals, nrows, ncols, chunk, plan)
+    return plan

@@ -79,3 +79,33 @@ def test_cache_key_changes_with_content(tmp_path):
     p1.write_text("%%MatrixMarket matrix coordinate real general\n1 1 1\n1 1 2.0\n")
     p2.write_text("%%MatrixMarket matrix coordinate real general\n1 1 1\n1 1 3.0\n")
     assert cache_key(str(p1), "csr", {}) != cache_key(str(p2), "csr", {})
+
+
+def test_plan_cache_roundtrip(mtx, tmp_path):
+    from spmv_tpu.cache import cached_convert
+
+    cdir = str(tmp_path / "cache")
+    import os
+    a = cached_convert(mtx, "hyb", cache_dir=cdir)
+    plan_files = [f for f in os.listdir(cdir) if f.startswith("plan-")]
+    assert plan_files, "plan cache entries written"
+    b = cached_convert(mtx, "hyb", cache_dir=cdir)  # plan-cache hit
+    x = np.random.default_rng(1).standard_normal(a.ncols).astype(np.float32)
+    np.testing.assert_allclose(np.asarray(a.matvec(x)),
+                               np.asarray(b.matvec(x)))
+    assert b.plan.padded_slots == a.plan.padded_slots
+
+
+def test_cli_cache_dir(mtx, tmp_path, capsys):
+    cdir = str(tmp_path / "c2")
+    rc = main(["run", "--format", "csr", "--matrix", mtx,
+               "--cache-dir", cdir])
+    assert rc == ReturnCode.SUCCESS
+    import os
+    files = os.listdir(cdir)
+    assert any(f.startswith("plan-") for f in files)
+    rc = main(["run", "--format", "csr", "--matrix", mtx,
+               "--cache-dir", cdir])  # warm
+    assert rc == ReturnCode.SUCCESS
+    from spmv_tpu import cache
+    cache.set_plan_cache(None)  # don't leak into other tests
