@@ -146,13 +146,21 @@ def cmd_bench(args) -> int:
     formats = ALL_FORMATS if args.formats == "all" else args.formats.split(",")
     bw = measure_hbm_bw() if args.probe_bw else None
     results = {}
-    for fmt in formats:
-        a = spmv_tpu.from_coo(fmt, info.nrows, info.ncols, rows, cols, vals)
-        r = bench_format(a, fmt, hbm_bw=bw)
-        results[fmt] = r.to_dict()
-        print(f"{fmt:5s}: {r.ms_per_spmv:7.3f} ms  {r.gnnz_per_s:6.2f} Gnnz/s "
-              f"{r.gflops:8.1f} GFLOP/s  {r.roofline_pct:4.1f}% roofline "
-              f"(pad {r.padded_slots / max(r.nnz, 1):.2f}x)")
+    import contextlib
+
+    prof = contextlib.nullcontext()
+    if args.profile:
+        import jax
+        prof = jax.profiler.trace(args.profile)
+        print(f"writing profiler trace to {args.profile}", file=sys.stderr)
+    with prof:
+        for fmt in formats:
+            a = spmv_tpu.from_coo(fmt, info.nrows, info.ncols, rows, cols, vals)
+            r = bench_format(a, fmt, hbm_bw=bw)
+            results[fmt] = r.to_dict()
+            print(f"{fmt:5s}: {r.ms_per_spmv:7.3f} ms  {r.gnnz_per_s:6.2f} Gnnz/s "
+                  f"{r.gflops:8.1f} GFLOP/s  {r.roofline_pct:4.1f}% roofline "
+                  f"(pad {r.padded_slots / max(r.nnz, 1):.2f}x)")
     if args.json:
         with open(args.json, "w") as f:
             json.dump(results, f, indent=2)
@@ -208,6 +216,8 @@ def main(argv=None) -> int:
                    help="weak-scaling sweep over the available device mesh "
                         "(--formats picks ONE format, default cmrs)")
     b.add_argument("--rows-per-device", type=int, default=16384)
+    b.add_argument("--profile", default="",
+                   help="directory for a jax.profiler trace of the bench")
     b.add_argument("--json", default="")
     b.set_defaults(fn=cmd_bench)
 
