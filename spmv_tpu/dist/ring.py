@@ -1,0 +1,132 @@
+"""Ring-rotated SpMV — the SpMV counterpart of ring attention.
+
+``RowShardedSpmv(gather_x=True)`` materializes the whole x on every device
+(all-gather).  For x beyond one chip's memory budget the ring form keeps x
+**column-blocked**: device ``d`` owns row-slab ``d`` of A (split into D
+column-block sub-plans) and starts with x block ``d``; each of the D ring
+steps multiplies the sub-plan matching the currently-held x block into the
+local y accumulator, then ``ppermute``s the x block to the next neighbor
+over ICI.  Peak per-device x memory is O(ncols/D) instead of O(ncols), and
+XLA overlaps each step's collective with the next step's compute where the
+schedule allows.
+
+The reference has nothing comparable (no distribution at all, SURVEY.md
+§2.3); this is the "large-nnz / large-x scaling" analog of sequence
+parallelism called for by the survey's parallelism checklist.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from spmv_tpu.dist.sharded import _ShardStatics, _make_dev, _unify_plans
+from spmv_tpu.formats.base import LANES, cdiv, round_up
+from spmv_tpu.kernels.engines import panel_spmv, segmented_spmv
+
+__all__ = ["RingShardedSpmv"]
+
+
+class RingShardedSpmv:
+    """y = A·x, A row-partitioned × column-blocked, x rotated on a ring."""
+
+    def __init__(self, format: str, nrows: int, ncols: int, rows, cols, vals,
+                 mesh: Mesh, **fmt_kwargs):
+        from spmv_tpu.api import FORMATS
+
+        format = format.lower()
+        if format in ("sell", "sell_c_sigma", "hyb"):
+            raise NotImplementedError(
+                "ring-sharded SELL/HYB not supported; use csr/coo/cmrs/ell")
+        cls = FORMATS[format]
+        self.mesh = mesh
+        self.axis = mesh.axis_names[0]
+        D = mesh.shape[self.axis]
+        rows = np.asarray(rows, dtype=np.int64)
+        cols = np.asarray(cols, dtype=np.int64)
+        vals = np.asarray(vals)
+
+        rps = round_up(max(cdiv(nrows, D), LANES), LANES)
+        cps = round_up(max(cdiv(ncols, D), LANES), LANES)
+        # D×D sub-plans: (row slab d) × (column block j), unified together
+        # so one stacked array set serves every (d, j).
+        shards = []
+        for d in range(D):
+            for j in range(D):
+                sel = ((rows >= d * rps) & (rows < (d + 1) * rps)
+                       & (cols >= j * cps) & (cols < (j + 1) * cps))
+                shards.append(cls.from_coo(
+                    rps, cps, rows[sel] - d * rps, cols[sel] - j * cps,
+                    vals[sel], **fmt_kwargs))
+        arrays, chunk, kv, self.is_seg = _unify_plans(shards)
+        # (D·D, ...) -> (D, D, ...): leading axis = device, second = block.
+        arrays = {k: v.reshape(D, D, *v.shape[1:]) for k, v in arrays.items()}
+        self.st = _ShardStatics(
+            chunk=chunk, kv=kv, is_seg=self.is_seg, is_row=True,
+            nrows=nrows, ncols=ncols, rows_per_shard=rps, n_shards=D,
+        )
+        self.rps, self.cps, self.D = rps, cps, D
+        sharded = NamedSharding(mesh, P(self.axis))
+        self.arrays = {
+            k: jax.device_put(jnp.asarray(v), sharded) for k, v in arrays.items()
+        }
+        self.S_local = max(cps // LANES, 8)
+        self._fn = self._build()
+
+    def _build(self):
+        st, axis, mesh, D = self.st, self.axis, self.mesh, self.D
+        S_local = self.S_local
+        names = list(self.arrays)
+        nb = self.rps // LANES
+
+        def shard_fn(x_blk, *plan):
+            # local views: x_blk (1, S_local, 128); plan arrays (1, D, ...)
+            local = dict(zip(names, (p[0] for p in plan)))
+            my = jax.lax.axis_index(axis)
+
+            def step(k, carry):
+                x2d, y = carry
+                j = jax.lax.rem(my - k + D, D)  # block held at step k
+                sub = {n: jax.lax.dynamic_index_in_dim(local[n], j, axis=0,
+                                                       keepdims=False)
+                       for n in names}
+                dev = _make_dev(sub, st)
+                part = (segmented_spmv(dev, x2d) if st.is_seg
+                        else panel_spmv(dev, x2d))
+                y = y + part
+                # pass the block to the next device on the ring
+                x2d = jax.lax.ppermute(
+                    x2d, axis, [(i, (i + 1) % D) for i in range(D)])
+                return x2d, y
+
+            y0 = jnp.zeros((1, nb * LANES), jnp.float32)
+            _, y = jax.lax.fori_loop(0, D, step, (x_blk[0], y0))
+            return y
+
+        return jax.jit(shard_map(
+            shard_fn, mesh=mesh,
+            in_specs=(P(axis, None, None),) + (P(axis),) * len(names),
+            out_specs=P(axis, None),
+            check_vma=False,  # pallas_call out_shape carries no vma info
+        ))
+
+    def matvec(self, x):
+        xf = jnp.asarray(x, jnp.float32).reshape(-1)
+        if xf.shape[0] != self.st.ncols:
+            raise ValueError(
+                f"x has {xf.shape[0]} entries, matrix has {self.st.ncols} columns")
+        D, cps = self.D, self.cps
+        xf = jnp.pad(xf, (0, D * cps - xf.shape[0]))
+        xb = xf.reshape(D, cps)
+        pad = self.S_local * LANES - cps
+        if pad:
+            xb = jnp.pad(xb, ((0, 0), (0, pad)))
+        xb = xb.reshape(D, self.S_local, LANES)
+        xb = jax.device_put(xb, NamedSharding(self.mesh, P(self.axis)))
+        y = self._fn(xb, *self.arrays.values())
+        return y.reshape(-1)[: self.st.nrows]
+
+    __matmul__ = matvec

@@ -45,6 +45,7 @@ from spmv_tpu.kernels.engines import panel_spmv, segmented_spmv
 __all__ = ["RowShardedSpmv", "ColShardedSpmv"]
 
 _PANEL_FORMATS = {"ell", "sell", "sell_c_sigma"}
+_UNSUPPORTED = {"hyb"}  # two-stream container; shard csr/cmrs/ell instead
 
 
 def _pad_rows(arr: np.ndarray, target: int) -> np.ndarray:
@@ -110,6 +111,10 @@ class RowShardedSpmv:
         from spmv_tpu.api import FORMATS
 
         format = format.lower()
+        if format in _UNSUPPORTED:
+            raise NotImplementedError(
+                "sharded HYB not supported (two-stream container); "
+                "shard csr/coo/cmrs/ell instead")
         if format in _PANEL_FORMATS and format != "ell":
             raise NotImplementedError(
                 "row-sharded SELL: use ell/csr/coo/cmrs (sell epilogue is "
@@ -197,6 +202,10 @@ class ColShardedSpmv:
         from spmv_tpu.api import FORMATS
 
         format = format.lower()
+        if format in _UNSUPPORTED:
+            raise NotImplementedError(
+                "sharded HYB not supported (two-stream container); "
+                "shard csr/coo/cmrs/ell instead")
         if format in _PANEL_FORMATS and format != "ell":
             raise NotImplementedError("column-sharded SELL not supported yet")
         cls = FORMATS[format]

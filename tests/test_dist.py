@@ -83,3 +83,26 @@ def test_weak_scaling_harness(mesh):
     assert rep["points"][0]["efficiency"] == 1.0
     assert rep["points"][1]["nrows"] == 2 * rep["points"][0]["nrows"]
     assert all(p["ms_per_spmv"] > 0 for p in rep["points"])
+
+
+@pytest.mark.parametrize("fmt", ["csr", "cmrs", "ell"])
+def test_ring_sharded(mesh, fmt):
+    from spmv_tpu.dist.ring import RingShardedSpmv
+
+    info, r, c, v, x = _data(n=900, seed=12)
+    a = RingShardedSpmv(fmt, info.nrows, info.ncols, r, c, v, mesh)
+    y = np.asarray(a.matvec(x))
+    rep = check_result(golden_spmv(info.nrows, r, c, v, x), y,
+                       tol_abs=1e-4, tol_rel=1e-4,
+                       scale=golden_spmv(info.nrows, r, c, np.abs(v), np.abs(x)))
+    assert rep.ok, f"ring {fmt}: {rep}"
+
+
+def test_sharded_hyb_rejected(mesh):
+    from spmv_tpu.dist.ring import RingShardedSpmv
+
+    info, r, c, v, x = _data(n=300, seed=1)
+    with pytest.raises(NotImplementedError):
+        RowShardedSpmv("hyb", info.nrows, info.ncols, r, c, v, mesh)
+    with pytest.raises(NotImplementedError):
+        RingShardedSpmv("hyb", info.nrows, info.ncols, r, c, v, mesh)
