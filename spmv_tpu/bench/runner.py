@@ -88,7 +88,7 @@ def bench_format(
     *,
     iters_a: int = 50,
     iters_b: int = 250,
-    repeats: int = 3,
+    repeats: int = 5,
     hbm_bw: float | None = None,
     x0: np.ndarray | None = None,
 ) -> BenchResult:

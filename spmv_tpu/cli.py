@@ -167,6 +167,23 @@ def cmd_bench(args) -> int:
     return ReturnCode.SUCCESS
 
 
+def cmd_devices(args) -> int:
+    """Enumerate accelerators — the analog of the reference's
+    ``get_device_ids`` platform/device walk (helper_functions.h:76-129)."""
+    import jax
+
+    try:
+        devs = jax.devices()
+    except Exception as e:
+        print(f"no usable accelerator: {e}", file=sys.stderr)
+        return ReturnCode.DEVICE_ERROR
+    print(f"backend: {jax.default_backend()}  ({len(devs)} device(s))")
+    for d in devs:
+        print(f"  [{d.id}] {d.device_kind} (process {d.process_index}, "
+              f"platform {d.platform})")
+    return ReturnCode.SUCCESS
+
+
 def cmd_info(args) -> int:
     try:
         info, rows, cols, vals = _load(args)
@@ -224,6 +241,9 @@ def main(argv=None) -> int:
     i = sub.add_parser("info", help="matrix statistics")
     common(i)
     i.set_defaults(fn=cmd_info)
+
+    d = sub.add_parser("devices", help="enumerate accelerators")
+    d.set_defaults(fn=cmd_devices)
 
     args = p.parse_args(argv)
     return int(args.fn(args))
