@@ -1,0 +1,86 @@
+"""Iterative solvers on top of the device formats — the "production use"
+layer the reference lacks entirely (its drivers run one SpMV and exit,
+``coo.c:193-199``).
+
+Everything here composes the formats' jit-composable ``padded_matvec``
+into single fused XLA programs: the whole Krylov loop runs on-device with
+one dispatch, the SpMV kernel pipelining intact.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from spmv_tpu.device import x_to_table, y_from_padded
+
+__all__ = ["cg", "power_iteration"]
+
+
+def _matvec(a):
+    def mv(v):
+        return y_from_padded(a.padded_matvec(x_to_table(v, a.ncols)), a.nrows)
+    return mv
+
+
+def cg(a, b, *, tol: float = 1e-5, maxiter: int = 1000, x0=None):
+    """Conjugate gradients for SPD ``A``: returns (x, iterations, residual).
+
+    The loop is one jitted ``lax.while_loop``; fp32 on device (use a
+    smallish ``tol`` accordingly).
+    """
+    if a.nrows != a.ncols:
+        raise ValueError("cg requires a square matrix")
+    mv = _matvec(a)
+    b = jnp.asarray(b, jnp.float32).reshape(-1)
+    if b.shape[0] != a.nrows:
+        raise ValueError(f"b has {b.shape[0]} entries, matrix is {a.nrows}")
+    x0 = jnp.zeros_like(b) if x0 is None else jnp.asarray(x0, jnp.float32)
+
+    @jax.jit
+    def run(b, x0):
+        r0 = b - mv(x0)
+        state = (x0, r0, r0, jnp.vdot(r0, r0), jnp.int32(0))
+        tol2 = jnp.float32(tol) ** 2 * jnp.maximum(jnp.vdot(b, b), 1e-30)
+
+        def cond(s):
+            _, _, _, rs, k = s
+            return jnp.logical_and(rs > tol2, k < maxiter)
+
+        def body(s):
+            x, r, p, rs, k = s
+            ap = mv(p)
+            alpha = rs / jnp.vdot(p, ap)
+            x = x + alpha * p
+            r = r - alpha * ap
+            rs_new = jnp.vdot(r, r)
+            p = r + (rs_new / rs) * p
+            return (x, r, p, rs_new, k + 1)
+
+        x, r, _, rs, k = jax.lax.while_loop(cond, body, state)
+        return x, k, jnp.sqrt(rs)
+
+    x, k, res = run(b, x0)
+    return x, int(k), float(res)
+
+
+def power_iteration(a, *, iters: int = 100, seed: int = 0):
+    """Dominant eigenvalue estimate by fused power iteration; returns
+    (eigenvalue, eigenvector)."""
+    if a.nrows != a.ncols:
+        raise ValueError("power_iteration requires a square matrix")
+    v0 = jax.random.normal(jax.random.PRNGKey(seed), (a.ncols,), jnp.float32)
+
+    @partial(jax.jit, static_argnums=1)
+    def run(v, n):
+        def body(i, v):
+            w = y_from_padded(a.padded_matvec(x_to_table(v, a.ncols)), a.nrows)
+            return w * jax.lax.rsqrt(jnp.vdot(w, w) + 1e-30)
+        v = jax.lax.fori_loop(0, n, body, v)
+        w = y_from_padded(a.padded_matvec(x_to_table(v, a.ncols)), a.nrows)
+        return jnp.vdot(v, w), v
+
+    lam, v = run(v0, iters)
+    return float(lam), v
