@@ -135,3 +135,17 @@ def test_sell_padding_beats_ell_on_skewed():
     sell = spmv_tpu.SellMatrix.from_coo(info.nrows, info.ncols, r, c, v,
                                         sigma=128)
     assert sell.plan.padded_slots <= ell.plan.padded_slots
+
+
+@pytest.mark.parametrize("fmt", FORMATS)
+def test_wide_rectangular(fmt):
+    # ncols >> nrows: many x stripes per block, exercises window clamping
+    info, r, c, v = synth.random_coo(100, 5000, 2500, seed=13)
+    run_format(fmt, info, r, c, v)
+
+
+@pytest.mark.parametrize("fmt", FORMATS)
+def test_tall_rectangular(fmt):
+    # nrows >> ncols: S floors at 8 table rows
+    info, r, c, v = synth.random_coo(5000, 100, 2500, seed=14)
+    run_format(fmt, info, r, c, v)
