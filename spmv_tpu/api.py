@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import numpy as np
 
+from spmv_tpu.formats.bsr import BSRMatrix
 from spmv_tpu.formats.cmrs import CMRSMatrix
 from spmv_tpu.formats.coo import COOMatrix
 from spmv_tpu.formats.csr import CSRMatrix
@@ -26,6 +27,7 @@ FORMATS = {
     "sell_c_sigma": SellMatrix,
     "cmrs": CMRSMatrix,
     "hyb": HybMatrix,  # framework extension: ELL panel + segmented spill
+    "bsr": BSRMatrix,  # framework extension: 128x128 block-dense SpMM
 }
 
 
