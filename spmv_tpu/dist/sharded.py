@@ -40,7 +40,11 @@ from spmv_tpu.device import (
     x_table_rows,
 )
 from spmv_tpu.formats.base import LANES, cdiv, round_up
-from spmv_tpu.kernels.engines import panel_spmv, segmented_spmv
+from spmv_tpu.kernels.engines import (
+    inverse_permute_blocks,
+    panel_spmv,
+    segmented_spmv,
+)
 
 __all__ = ["RowShardedSpmv", "ColShardedSpmv"]
 
@@ -104,7 +108,10 @@ class _ShardStatics:
 
 
 class RowShardedSpmv:
-    """y = A·x with A row-partitioned over ``mesh``'s single axis."""
+    """y = A·x with A row-partitioned over ``mesh``'s single axis.
+
+    SELL-C-σ shards sort and unpermute their row slabs locally (the σ-sort
+    never crosses a slab boundary because σ ≤ 1024 ≤ the slab size)."""
 
     def __init__(self, format: str, nrows: int, ncols: int, rows, cols, vals,
                  mesh: Mesh, *, gather_x: bool = True, **fmt_kwargs):
@@ -113,13 +120,10 @@ class RowShardedSpmv:
         format = format.lower()
         if format in _UNSUPPORTED:
             raise NotImplementedError(
-                "sharded HYB not supported (two-stream container); "
-                "shard csr/coo/cmrs/ell instead")
-        if format in _PANEL_FORMATS and format != "ell":
-            raise NotImplementedError(
-                "row-sharded SELL: use ell/csr/coo/cmrs (sell epilogue is "
-                "single-chip for now)")
+                "sharded HYB/BSR not supported (multi-part containers); "
+                "shard csr/coo/cmrs/ell/sell instead")
         cls = FORMATS[format]
+        self.is_sell = format in ("sell", "sell_c_sigma")
         self.format = format
         self.mesh = mesh
         self.axis = mesh.axis_names[0]
@@ -138,6 +142,13 @@ class RowShardedSpmv:
                              **fmt_kwargs)
             )
         arrays, chunk, kv, self.is_seg = _unify_plans(shards)
+        if self.is_sell:
+            # per-shard epilogue metadata: every shard has the same row
+            # count, so the shapes already agree.
+            arrays["perm_whi"] = np.stack(
+                [np.asarray(s._perm_whi) for s in shards])
+            arrays["perm_idx"] = np.stack(
+                [np.asarray(s._perm_idx) for s in shards])
         self.st = _ShardStatics(
             chunk=chunk, kv=kv, is_seg=self.is_seg, is_row=True,
             nrows=nrows, ncols=ncols, rows_per_shard=rps, n_shards=D,
@@ -156,7 +167,9 @@ class RowShardedSpmv:
     def _build(self):
         st, axis, mesh = self.st, self.axis, self.mesh
         gather_x = self.gather_x
+        is_sell = self.is_sell
         names = list(self.arrays)
+        nb = st.rows_per_shard // LANES
 
         def shard_fn(x_local, *plan):
             a = dict(zip(names, (p[0] for p in plan)))
@@ -167,7 +180,14 @@ class RowShardedSpmv:
             dev = _make_dev(a, st)
             if st.is_seg:
                 return segmented_spmv(dev, x2d)
-            return panel_spmv(dev, x2d)
+            y = panel_spmv(dev, x2d)
+            if is_sell:
+                y2 = y.reshape(nb, LANES)
+                if nb < 8:  # epilogue windows always slice 8 table rows
+                    y2 = jnp.pad(y2, ((0, 8 - nb), (0, 0)))
+                y = inverse_permute_blocks(a["perm_whi"], a["perm_idx"],
+                                           y2)[:, : nb * LANES]
+            return y
 
         xspec = P(axis, None) if gather_x else P()
         fn = shard_map(

@@ -26,7 +26,7 @@ def _data(n=700, seed=4):
     return info, r, c, v, x
 
 
-@pytest.mark.parametrize("fmt", ["csr", "coo", "cmrs", "ell"])
+@pytest.mark.parametrize("fmt", ["csr", "coo", "cmrs", "ell", "sell"])
 @pytest.mark.parametrize("gather_x", [True, False])
 def test_row_sharded(mesh, fmt, gather_x):
     info, r, c, v, x = _data()
