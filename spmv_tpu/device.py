@@ -36,6 +36,21 @@ __all__ = ["DevPanel", "DevSeg", "x_table_rows", "x_to_table", "y_from_padded"]
 # (chunk, KV) choices, largest superchunk first.  SC = KV·chunk sublane rows.
 _GEOMETRIES = ((256, 8), (128, 4), (64, 2), (64, 1))
 
+# The engines keep the whole x table and the whole y in VMEM (~16 MB/core);
+# with the streamed double-buffered chunks (~4 MB) that bounds
+# 4·(nrows + ncols) on one chip.  Larger matrices must be sharded.
+_VMEM_VECTOR_BUDGET = 9 * 1024 * 1024
+
+
+def _check_fits(nrows: int, ncols: int) -> None:
+    if 4 * (nrows + ncols) > _VMEM_VECTOR_BUDGET:
+        raise ValueError(
+            f"matrix ({nrows} x {ncols}) exceeds the single-chip VMEM budget "
+            f"for the whole-y/whole-x resident design (~"
+            f"{_VMEM_VECTOR_BUDGET // (4 * 1024 * 1024)}M rows+cols); "
+            "partition it with spmv_tpu.dist.RowShardedSpmv or "
+            "RingShardedSpmv")
+
 
 def pick_geometry(tm_rows: int) -> tuple[int, int]:
     """Largest (chunk, KV) whose superchunk keeps padding overhead small."""
@@ -110,6 +125,7 @@ class DevPanel:
 
     @classmethod
     def from_plan(cls, p: PanelPlan) -> "DevPanel":
+        _check_fits(p.nrows, p.ncols)
         chunk, kv = pick_geometry(p.vals.shape[0])
         d = split_plan_arrays(
             {"vals": p.vals, "loc": p.loc,
@@ -140,6 +156,7 @@ class DevSeg:
 
     @classmethod
     def from_plan(cls, p: SegPlan) -> "DevSeg":
+        _check_fits(p.nrows, p.ncols)
         chunk, kv = pick_geometry(p.vals.shape[0])
         d = split_plan_arrays(
             {"vals": p.vals, "loc": p.loc, "gidx": p.gidx, "pidx": p.pidx,

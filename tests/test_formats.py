@@ -149,3 +149,10 @@ def test_tall_rectangular(fmt):
     # nrows >> ncols: S floors at 8 table rows
     info, r, c, v = synth.random_coo(5000, 100, 2500, seed=14)
     run_format(fmt, info, r, c, v)
+
+
+def test_vmem_budget_guard():
+    # whole-y/whole-x residency bounds single-chip matrix size; the error
+    # must point at the distributed layer.
+    with pytest.raises(ValueError, match="RowShardedSpmv"):
+        spmv_tpu.from_coo("csr", 3_000_000, 3_000_000, [0], [0], [1.0])
