@@ -23,11 +23,15 @@ measured ~4-7 cycles/op; chunk-wide ops pipeline properly):
   because ``hi`` is constant within each sublane row.  Both ride in one
   uint16 ``loc = hi·128 + lo`` stream.
 * Engine 2 reduction: inclusive lane prefix sums as one chunk-wide matmul
-  against upper-triangular ones on the MXU (full-f32 precision —
-  ``jnp.cumsum`` does not lower in Mosaic and a VPU scan costs ~40 vector
-  ops); per-row segment sums are ``cs[gidx] − cs[pidx]`` with
-  conversion-precomputed uint8 bounds (lane 0 of every sublane row is a
-  guaranteed zero pad, so no masking).
+  against upper-triangular ones on the MXU (``jnp.cumsum`` does not lower
+  in Mosaic and a VPU scan costs ~40 vector ops).  The triangular matmul
+  dominates the engine's cycle budget, so it runs as a **2-pass split-f32
+  product**: the 0/1 stationary operand is exact in bf16, so only the
+  streaming operand needs a hi+lo bf16 decomposition — ~2⁻¹⁸-relative
+  product precision at ⅓ the MXU passes of ``Precision.HIGHEST``
+  (measured 31.7 → 51.5 Gnnz/s).  Per-row segment sums are
+  ``cs[gidx] − cs[pidx]`` with conversion-precomputed uint8 bounds
+  (lane 0 of every sublane row is a guaranteed zero pad, so no masking).
 * Per-subtile 8-row sums via a block-diagonal 0/1 matmul (MXU) instead of
   a 3-D reshape-reduce, then one dynamic 128-lane accumulate into the
   whole-y-in-VMEM output per subtile.
@@ -54,6 +58,16 @@ _HIGHEST = jax.lax.Precision.HIGHEST
 
 def _interpret() -> bool:
     return jax.default_backend() != "tpu"
+
+
+def _split_dot(p, m_bf16):
+    """p(f32) @ M for a 0/1 matrix M (exact in bf16): two native bf16 MXU
+    passes with a hi+lo decomposition of p — ~2⁻¹⁸-relative product error,
+    3× cheaper than Precision.HIGHEST's f32 emulation."""
+    p_hi = p.astype(jnp.bfloat16)
+    p_lo = (p - p_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return (jnp.dot(p_hi, m_bf16, preferred_element_type=jnp.float32)
+            + jnp.dot(p_lo, m_bf16, preferred_element_type=jnp.float32))
 
 
 def _triu_ones():
@@ -171,24 +185,24 @@ def _seg_kernel(chunk: int, kv: int, sub_block_ref, sub_base_ref, *refs):
     def _():
         o_ref[:] = jnp.zeros_like(o_ref)
 
-    U = _triu_ones()
-    R = _rowsum_matrix(chunk)
+    U = _triu_ones().astype(jnp.bfloat16)
+    R = _rowsum_matrix(chunk).astype(jnp.bfloat16)
     nsub = chunk // SUBLANES
     for k in range(kv):
         g0 = step * (kv * nsub) + k * nsub
         loc_c = _chunk_slice(loc_refs, k, kv, chunk).astype(jnp.int32)
         p = _gathered_products(vals_refs[k][:], loc_c, x_ref, sub_base_ref,
                                g0, chunk)
-        # Inclusive lane prefix on the MXU; HIGHEST keeps full f32 mantissa
-        # (the default f32 path rounds operands to bf16).
-        cs = jnp.dot(p, U, preferred_element_type=jnp.float32,
-                     precision=_HIGHEST)
+        cs = _split_dot(p, U)  # inclusive lane prefix on the MXU
         gi = _chunk_slice(gidx_refs, k, kv, chunk).astype(jnp.int32)
         pi = _chunk_slice(pidx_refs, k, kv, chunk).astype(jnp.int32)
         pieces = (jnp.take_along_axis(cs, gi, axis=1)
                   - jnp.take_along_axis(cs, pi, axis=1))
-        parts = jnp.dot(R, pieces, preferred_element_type=jnp.float32,
-                        precision=_HIGHEST)
+        # R is (nsub, chunk): split the streaming operand (pieces).
+        ph = pieces.astype(jnp.bfloat16)
+        plo = (pieces - ph.astype(jnp.float32)).astype(jnp.bfloat16)
+        parts = (jnp.dot(R, ph, preferred_element_type=jnp.float32)
+                 + jnp.dot(R, plo, preferred_element_type=jnp.float32))
         _accumulate(o_ref, parts, sub_block_ref, g0, nsub)
 
 
