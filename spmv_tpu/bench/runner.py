@@ -101,17 +101,20 @@ def bench_format(
     fb = _chained_loop(a, iters_b)
     _fetch(fa(x2d))
     _fetch(fb(x2d))  # compile + warm both
-    # Dispatch round-trip jitter is tens of ms; take the min of each point
-    # separately so the slope uses the cleanest observation of each.
-    ta = tb = float("inf")
+    # Dispatch round-trip jitter is tens of ms and occasionally pairs a
+    # slow short run with a fast long run (mixing mins across runs once
+    # produced a physically impossible 190%-of-roofline reading); pair the
+    # two points within each repeat and take the median slope.
+    slopes = []
     for _ in range(repeats):
         t0 = time.perf_counter()
         _fetch(fa(x2d))
-        ta = min(ta, time.perf_counter() - t0)
+        ta = time.perf_counter() - t0
         t0 = time.perf_counter()
         _fetch(fb(x2d))
-        tb = min(tb, time.perf_counter() - t0)
-    t = max((tb - ta) / (iters_b - iters_a), 1e-9)
+        tb = time.perf_counter() - t0
+        slopes.append((tb - ta) / (iters_b - iters_a))
+    t = max(float(np.median(slopes)), 1e-9)
 
     ms = t * 1e3
     nnz = a.nnz

@@ -129,15 +129,18 @@ def _panel_kernel(chunk: int, kv: int, sub_block_ref, sub_base_ref, *refs):
     def _():
         o_ref[:] = jnp.zeros_like(o_ref)
 
-    R = _rowsum_matrix(chunk)
+    R = _rowsum_matrix(chunk).astype(jnp.bfloat16)
     nsub = chunk // SUBLANES
     for k in range(kv):
         g0 = step * (kv * nsub) + k * nsub
         loc_c = _chunk_slice(loc_refs, k, kv, chunk).astype(jnp.int32)
         p = _gathered_products(vals_refs[k][:], loc_c, x_ref, sub_base_ref,
                                g0, chunk)
-        parts = jnp.dot(R, p, preferred_element_type=jnp.float32,
-                        precision=_HIGHEST)
+        # 8-row sums on the MXU: R is 0/1 (exact in bf16), p splits hi+lo.
+        ph = p.astype(jnp.bfloat16)
+        plo = (p - ph.astype(jnp.float32)).astype(jnp.bfloat16)
+        parts = (jnp.dot(R, ph, preferred_element_type=jnp.float32)
+                 + jnp.dot(R, plo, preferred_element_type=jnp.float32))
         _accumulate(o_ref, parts, sub_block_ref, g0, nsub)
 
 

@@ -121,11 +121,13 @@ def test_sell_sigma_variants():
                                          bandwidth=40, seed=9)
     x = np.random.default_rng(2).standard_normal(info.ncols).astype(np.float32)
     expected = golden_spmv(info.nrows, r, c, v, x)
+    scale = golden_spmv(info.nrows, r, c, np.abs(v), np.abs(x))
     for sigma in (128, 256, 1024):
         a = spmv_tpu.SellMatrix.from_coo(info.nrows, info.ncols, r, c, v,
                                          sigma=sigma)
         rep = check_result(expected, np.asarray(a.matvec(x)),
-                           tol_abs=1e-5, tol_rel=1e-4)
+                           tol_abs=1e-5, tol_rel=engine_rel_tol(12),
+                           scale=scale)
         assert rep.ok, f"sigma={sigma}: {rep}"
 
 
