@@ -53,9 +53,6 @@ from spmv_tpu.formats.base import LANES, SUBLANES
 
 __all__ = ["panel_spmv", "segmented_spmv", "inverse_permute_blocks"]
 
-_HIGHEST = jax.lax.Precision.HIGHEST
-
-
 def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
