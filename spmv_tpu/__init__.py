@@ -9,7 +9,7 @@ benchmarking, and multi-chip scaling over ``jax.sharding`` meshes.  See
 TPU architecture.
 """
 
-from spmv_tpu.api import FORMATS, from_coo, load, spmv
+from spmv_tpu.api import FORMATS, from_coo, load, spmm, spmv
 from spmv_tpu.formats.cmrs import CMRSMatrix
 from spmv_tpu.formats.coo import COOMatrix
 from spmv_tpu.formats.csr import CSRMatrix
@@ -27,7 +27,7 @@ from spmv_tpu.oracle import (
 __version__ = "0.1.0"
 
 __all__ = [
-    "FORMATS", "from_coo", "load", "spmv",
+    "FORMATS", "from_coo", "load", "spmv", "spmm",
     "COOMatrix", "CSRMatrix", "EllMatrix", "SellMatrix", "CMRSMatrix",
     "HybMatrix",
     "golden_spmv", "check_result", "default_x", "fp32_rel_tol",

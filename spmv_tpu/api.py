@@ -17,7 +17,7 @@ from spmv_tpu.formats.ell import EllMatrix
 from spmv_tpu.formats.hyb import HybMatrix
 from spmv_tpu.formats.sell import SellMatrix
 
-__all__ = ["FORMATS", "from_coo", "load", "spmv"]
+__all__ = ["FORMATS", "from_coo", "load", "spmv", "spmm"]
 
 FORMATS = {
     "coo": COOMatrix,
@@ -55,3 +55,23 @@ def load(path: str, format: str = "csr", *, synth: dict | None = None, **kwargs)
 def spmv(a, x):
     """y = A @ x for any format container."""
     return a.matvec(x)
+
+
+def spmm(a, X):
+    """Y = A @ X for X of shape (ncols, R).
+
+    BSR computes this as one batched MXU matmul (the right tool for
+    R ≳ 32); every other format runs one SpMV per column.  A fused
+    multi-RHS variant of the Pallas engines was measured SLOWER per
+    vector than this loop on the bench TPU (compute scales with R while
+    the single-vector kernels already sit at the compute/DMA balance
+    point), so the loop is the honest implementation.
+    """
+    import jax.numpy as jnp
+
+    if hasattr(a, "matmat"):
+        return a.matmat(X)
+    X = jnp.asarray(X, jnp.float32)
+    if X.ndim != 2 or X.shape[0] != a.ncols:
+        raise ValueError(f"X must be ({a.ncols}, R), got {X.shape}")
+    return jnp.stack([a.matvec(X[:, j]) for j in range(X.shape[1])], axis=1)

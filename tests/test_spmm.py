@@ -51,3 +51,13 @@ def test_fill_guard():
 def test_empty():
     a = BSRMatrix.from_coo(10, 10, [], [], [])
     assert np.asarray(a.matvec(np.ones(10, np.float32))).shape == (10,)
+
+
+def test_spmm_helper_all_formats():
+    r, c, v, A = _mat(nrows=400, ncols=300, nnz=3500, seed=4)
+    X = np.random.default_rng(1).standard_normal((A.shape[1], 5)).astype(np.float32)
+    for fmt in ("ell", "csr", "bsr"):
+        a = spmv_tpu.from_coo(fmt, A.shape[0], A.shape[1], r, c, v)
+        Y = np.asarray(spmv_tpu.spmm(a, X))
+        assert Y.shape == (A.shape[0], 5)
+        np.testing.assert_allclose(Y, A @ X, rtol=2e-4, atol=2e-4)
