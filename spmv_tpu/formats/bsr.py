@@ -76,7 +76,9 @@ class BSRMatrix:
         upair, inv = np.unique(pair, return_inverse=True)
         T = max(upair.size, 1)
         fill = T * LANES * LANES / max(nnz, 1)
-        if nnz and fill > max_fill:
+        # Guard only when the dense blowup is material (tiny matrices are
+        # cheap regardless of their fill ratio).
+        if nnz and fill > max_fill and T * LANES * LANES * 4 > 16 * 2**20:
             raise ValueError(
                 f"block density too low for BSR (fill {fill:.0f}x > "
                 f"max_fill {max_fill}); use a matvec format instead")

@@ -36,13 +36,15 @@ def test_matvec_and_operator():
 
 
 def test_fill_guard():
-    # 3 nonzeros scattered into 3 distinct tiles: fill = 3*16384/3
+    # hypersparse at material scale: one nnz per diagonal tile
+    n = 128 * 300  # 300 tiles -> ~1.9 GB dense if admitted
+    diag = np.arange(0, n, 128)
     with pytest.raises(ValueError, match="block density"):
-        BSRMatrix.from_coo(1000, 1000, [0, 400, 900], [0, 400, 900],
-                           [1.0, 1.0, 1.0], max_fill=64.0)
-    # raising max_fill admits it
+        BSRMatrix.from_coo(n, n, diag, diag, np.ones(diag.size),
+                           max_fill=64.0)
+    # tiny matrices are admitted regardless of fill (dense bytes immaterial)
     a = BSRMatrix.from_coo(1000, 1000, [0, 400, 900], [0, 400, 900],
-                           [1.0, 1.0, 1.0], max_fill=1e6)
+                           [1.0, 1.0, 1.0])
     x = np.ones(1000, np.float32)
     y = np.asarray(a.matvec(x))
     assert y[0] == 1.0 and y[400] == 1.0 and y[900] == 1.0
