@@ -2,12 +2,12 @@
 """Driver benchmark: prints ONE JSON line
 {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
 
-Runs all five format kernels on the cant-scale synthetic band matrix (the
+Runs all six matvec format kernels on the cant-scale synthetic band matrix (the
 bundled SuiteSparse cant.mtx is a git-LFS pointer; `databases/cant.mtx` is
 used instead when a real file is present) on one TPU chip, and reports the
-best-format throughput.  vs_baseline is measured-nnz/s divided by the
-BASELINE.json target (80% of the HBM-bandwidth roofline for that format's
-traffic).  Full per-format details go to bench_results.json / stderr.
+best-format throughput; vs_baseline is the best per-format roofline
+efficiency over BASELINE.json's 80%-of-HBM target (1.0 = target met).
+Full per-format details go to bench_results.json / stderr.
 """
 
 import json

@@ -3,8 +3,8 @@
 A from-scratch JAX/XLA/Pallas re-design with the capabilities of
 ``sgartkink/opencl-spmv-algorithms`` (C + OpenCL): the reference's five
 sparse formats COO, CSR, ELL, SELL-C-σ and CMRS plus a byte-cost-optimal
-HYB, MatrixMarket ingestion, golden-oracle validation, roofline
-benchmarking, and multi-chip scaling over ``jax.sharding`` meshes.  See
+HYB and a block-dense BSR for multi-RHS SpMM, MatrixMarket ingestion,
+golden-oracle validation, roofline benchmarking, and multi-chip scaling over ``jax.sharding`` meshes.  See
 ``SURVEY.md`` for the reference analysis and ``docs/DESIGN.md`` for the
 TPU architecture.
 """
