@@ -37,9 +37,13 @@ from spmv_tpu.kernels.engines import panel_spmv, segmented_spmv
 __all__ = ["HybMatrix"]
 
 _PANEL_B = 6.0  # bytes per panel slot (vals f32 + loc u16)
-# bytes per spilled nnz: 8 B of streams × ~1.25 measured segmented-stream
-# padding for the fragmentary spill pattern
-_SPILL_B = 10.0
+# Effective cost per spilled nnz, swept empirically on the bench chip
+# (7/10/13/16/20/26 B → 49.8/49.7/51.4/57.4/49.9/49.2 Gnnz/s on the
+# cant-scale band matrix): the raw spill stream is 8 B plus ~1.25×
+# fragmentary-run padding, but the segmented engine also runs at a lower
+# fraction of the roofline than the panel engine, so the byte model
+# understates the true cost of spilling.
+_SPILL_B = 16.0
 
 
 def _optimal_caps(counts: np.ndarray, pair_id: np.ndarray,
