@@ -5,8 +5,9 @@
 Runs all six matvec format kernels on the cant-scale synthetic band matrix (the
 bundled SuiteSparse cant.mtx is a git-LFS pointer; `databases/cant.mtx` is
 used instead when a real file is present) on one TPU chip, and reports the
-best-format throughput; vs_baseline is the best per-format roofline
-efficiency over BASELINE.json's 80%-of-HBM target (1.0 = target met).
+best-format throughput; vs_baseline is the WEAKEST per-format roofline
+efficiency over BASELINE.json's 80%-of-HBM target (1.0 = every format meets
+the target — BASELINE demands it per format, so the gate is min-over-formats).
 Full per-format details go to bench_results.json / stderr.
 """
 
@@ -29,7 +30,11 @@ def main():
     info, rows, cols, vals = read_path_or_synthesize(
         path, n=n, avg_nnz_per_row=64, bandwidth=350, seed=0
     )
-    print(f"matrix: {info.nrows}x{info.ncols} nnz={rows.size}", file=sys.stderr)
+    from spmv_tpu.io.mmio import is_real_mtx
+    synthetic = not is_real_mtx(path)
+    print(f"matrix: {info.nrows}x{info.ncols} nnz={rows.size}"
+          f"{' (SYNTHETIC cant-scale band; real cant.mtx unavailable)' if synthetic else ''}",
+          file=sys.stderr)
 
     try:
         bw = measure_hbm_bw()
@@ -40,7 +45,7 @@ def main():
 
     results = {}
     best = None  # fastest format (Gnnz/s)
-    best_eff = 0.0  # best % of the measured HBM roofline across formats
+    min_eff = None  # WEAKEST per-format roofline % — BASELINE's gate
     for fmt in ["csr", "coo", "ell", "sell", "cmrs", "hyb"]:
         try:
             a = spmv_tpu.from_coo(fmt, info.nrows, info.ncols, rows, cols, vals)
@@ -49,15 +54,17 @@ def main():
             print(
                 f"{fmt:5s}: {r.ms_per_spmv:7.3f} ms  {r.gnnz_per_s:6.2f} Gnnz/s  "
                 f"{r.gflops:8.1f} GFLOP/s(ref)  {r.effective_gbps:5.0f} GB/s eff "
-                f"({r.roofline_pct:4.1f}% roofline, pad {r.padded_slots/max(r.nnz,1):.2f}x)",
+                f"({r.roofline_pct:4.1f}% roofline, {r.true_eff_pct:4.1f}% true-nnz SoL, "
+                f"pad {r.padded_slots/max(r.nnz,1):.2f}x)",
                 file=sys.stderr,
             )
             if best is None or r.gnnz_per_s > best.gnnz_per_s:
                 best = r
-            best_eff = max(best_eff, r.roofline_pct)
+            min_eff = r.roofline_pct if min_eff is None else min(min_eff, r.roofline_pct)
         except Exception as e:  # pragma: no cover
             print(f"{fmt}: FAILED {type(e).__name__}: {e}", file=sys.stderr)
             results[fmt] = {"error": str(e)}
+            min_eff = 0.0
 
     with open("bench_results.json", "w") as f:
         json.dump(results, f, indent=2)
@@ -67,16 +74,24 @@ def main():
                           "unit": "Gnnz/s", "vs_baseline": 0.0}))
         return 1
 
-    # value: the suite's best throughput.  vs_baseline: how close the most
-    # bandwidth-efficient kernel gets to BASELINE.json's target of 80% of
-    # the measured HBM roofline (1.0 = target met).  Using the per-format
-    # roofline keeps the ratio honest — a format cannot improve it by
-    # padding more (padding raises its traffic and its target alike).
+    # value: the suite's best throughput.  vs_baseline: how close the WEAKEST
+    # kernel gets to BASELINE.json's target of 80% of the measured HBM
+    # roofline for EACH format (1.0 = every format meets it).  The roofline
+    # ratio assumes the run is bandwidth-bound (it is: AI ≈ 0.1 FLOP/B);
+    # the per-format true-nnz speed-of-light % is reported alongside so
+    # padding can never buy score.
     print(json.dumps({
         "metric": "spmv_best_gnnz_per_s",
         "value": round(best.gnnz_per_s, 3),
         "unit": "Gnnz/s",
-        "vs_baseline": round(best_eff / 80.0, 4),
+        "vs_baseline": round(min_eff / 80.0, 4),
+        "synthetic_matrix": synthetic,
+        "roofline_pct_per_format": {
+            f: round(r["roofline_pct"], 1) for f, r in results.items()
+            if "roofline_pct" in r},
+        "true_nnz_sol_pct_per_format": {
+            f: round(r["true_eff_pct"], 1) for f, r in results.items()
+            if "true_eff_pct" in r},
     }))
     return 0
 

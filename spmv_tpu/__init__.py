@@ -22,6 +22,7 @@ from spmv_tpu.oracle import (
     engine_rel_tol,
     fp32_rel_tol,
     golden_spmv,
+    seg_engine_scale,
 )
 
 __version__ = "0.1.0"
@@ -31,6 +32,6 @@ __all__ = [
     "COOMatrix", "CSRMatrix", "EllMatrix", "SellMatrix", "CMRSMatrix",
     "HybMatrix",
     "golden_spmv", "check_result", "default_x", "fp32_rel_tol",
-    "engine_rel_tol",
+    "engine_rel_tol", "seg_engine_scale",
     "__version__",
 ]

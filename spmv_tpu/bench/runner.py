@@ -45,10 +45,12 @@ class BenchResult:
     ms_per_spmv: float
     gnnz_per_s: float  # true nnz / time
     gflops: float  # reference formula: 2·nnz/ms·1e-6 (helper_functions.h:167)
-    gbps_lower: float  # nnz·8B/ms (helper_functions.h:175; fp64 values there)
-    gbps_upper: float  # 2·nnz·8B/ms
+    gbps_lower: float  # nnz·8B/ms·1e-6 (helper_functions.h:175-181 exactly)
+    gbps_upper: float  # 2·nnz·8B/ms·1e-6 (helper_functions.h:182)
     effective_gbps: float  # actual bytes moved (padding + index traffic)
-    roofline_pct: float  # effective_gbps / measured HBM bw
+    roofline_pct: float  # effective_gbps / measured HBM bw (streamed bytes)
+    true_eff_pct: float  # gnnz_per_s / (HBM bw / min bytes-per-nnz):
+    #   speed-of-light efficiency on TRUE nonzeros — padding cannot buy score
     hbm_bw_gbps: float
     bytes_per_nnz: float
 
@@ -131,10 +133,11 @@ def bench_format(
         ms_per_spmv=ms,
         gnnz_per_s=nnz / t / 1e9,
         gflops=2 * nnz / ms * 1e-6,
-        gbps_lower=nnz * 8 / ms * 1e-6 / 1e3,
-        gbps_upper=2 * nnz * 8 / ms * 1e-6 / 1e3,
+        gbps_lower=nnz * 8 / ms * 1e-6,
+        gbps_upper=2 * nnz * 8 / ms * 1e-6,
         effective_gbps=eff_gbps,
         roofline_pct=100.0 * eff_gbps * 1e9 / bw,
+        true_eff_pct=100.0 * (nnz / t) / (bw / bytes_per_slot(a)),
         hbm_bw_gbps=bw / 1e9,
         bytes_per_nnz=bpn,
     )

@@ -67,11 +67,17 @@ def _make_x(mode: str, ncols: int, seed: int = 0) -> np.ndarray:
     return rng.standard_normal(ncols).astype(np.float32)
 
 
-def _validate(info, rows, cols, vals, x, y) -> tuple[bool, str]:
-    from spmv_tpu.oracle import check_result, engine_rel_tol, golden_spmv
+def _validate(info, rows, cols, vals, x, y, a=None) -> tuple[bool, str]:
+    from spmv_tpu.oracle import (
+        check_result, engine_rel_tol, golden_spmv, seg_engine_scale)
 
     expected = golden_spmv(info.nrows, rows, cols, vals, x)
     scale = golden_spmv(info.nrows, rows, cols, np.abs(vals), np.abs(x))
+    # For segmented-engine formats, bound by the sublane-window magnitude —
+    # honest for heterogeneous row scales (see oracle.seg_engine_scale).
+    plan = getattr(a, "plan", None)
+    if plan is not None and hasattr(plan, "gidx"):
+        scale = seg_engine_scale(plan, x, scale)
     lengths = np.bincount(rows, minlength=max(info.nrows, 1)) if rows.size else np.zeros(1)
     rep = check_result(expected, y, tol_abs=1e-5, scale=scale,
                        tol_rel=engine_rel_tol(int(lengths.max() or 1)))
@@ -101,7 +107,7 @@ def cmd_run(args) -> int:
         print(f"row length: average {st['average']:.2f}, "
               f"shortest {st['shortest']}, longest {st['longest']}")
 
-    ok, verdict = _validate(info, rows, cols, vals, x, y)
+    ok, verdict = _validate(info, rows, cols, vals, x, y, a)
     print(verdict)
 
     if args.bench:

@@ -38,9 +38,10 @@ class RingShardedSpmv:
         from spmv_tpu.api import FORMATS
 
         format = format.lower()
-        if format in ("sell", "sell_c_sigma", "hyb"):
+        if format in ("sell", "sell_c_sigma", "hyb", "bsr"):
             raise NotImplementedError(
-                "ring-sharded SELL/HYB not supported; use csr/coo/cmrs/ell")
+                "ring-sharded SELL/HYB/BSR not supported; use csr/coo/cmrs/ell "
+                "(for hyb, RowShardedSpmv supports it)")
         cls = FORMATS[format]
         self.mesh = mesh
         self.axis = mesh.axis_names[0]
@@ -61,7 +62,7 @@ class RingShardedSpmv:
                 shards.append(cls.from_coo(
                     rps, cps, rows[sel] - d * rps, cols[sel] - j * cps,
                     vals[sel], **fmt_kwargs))
-        arrays, chunk, kv, self.is_seg = _unify_plans(shards)
+        arrays, chunk, kv, self.is_seg = _unify_plans([s.plan for s in shards])
         # (D·D, ...) -> (D, D, ...): leading axis = device, second = block.
         arrays = {k: v.reshape(D, D, *v.shape[1:]) for k, v in arrays.items()}
         self.st = _ShardStatics(

@@ -49,7 +49,9 @@ from spmv_tpu.kernels.engines import (
 __all__ = ["RowShardedSpmv", "ColShardedSpmv"]
 
 _PANEL_FORMATS = {"ell", "sell", "sell_c_sigma"}
-_UNSUPPORTED = {"hyb"}  # two-stream container; shard csr/cmrs/ell instead
+# BSR's plan-less block-dense container cannot ride the stream unifier; it
+# stays single-chip (use spmm there).  HYB row-shards as a two-part plan.
+_UNSUPPORTED = {"bsr"}
 
 
 def _pad_rows(arr: np.ndarray, target: int) -> np.ndarray:
@@ -59,19 +61,19 @@ def _pad_rows(arr: np.ndarray, target: int) -> np.ndarray:
     return np.pad(arr, pad)
 
 
-def _unify_plans(shards):
+def _unify_plans(plans):
     """Pad per-shard plan arrays to one shape, pick a common device-stream
     geometry, split, and stack shard-major.  Pad rows are inert all-zero
     subtiles (they accumulate 0 into block 0)."""
-    is_seg = hasattr(shards[0].plan, "gidx")
+    is_seg = hasattr(plans[0], "gidx")
     names = ["vals", "loc"] + (["gidx", "pidx"] if is_seg else [])
-    tm = max(s.plan.vals.shape[0] for s in shards)
+    tm = max(p.vals.shape[0] for p in plans)
     chunk, kv = pick_geometry(tm)
     stacked: dict[str, list] = {}
-    for s in shards:
-        arrays = {n: _pad_rows(getattr(s.plan, n), tm) for n in names}
-        arrays["sub_block"] = s.plan.sub_block
-        arrays["sub_base"] = s.plan.sub_base
+    for p in plans:
+        arrays = {n: _pad_rows(getattr(p, n), tm) for n in names}
+        arrays["sub_block"] = p.sub_block
+        arrays["sub_base"] = p.sub_base
         split = split_plan_arrays(arrays, chunk, kv)
         for k, v in split.items():
             stacked.setdefault(k, []).append(v)
@@ -120,10 +122,11 @@ class RowShardedSpmv:
         format = format.lower()
         if format in _UNSUPPORTED:
             raise NotImplementedError(
-                "sharded HYB/BSR not supported (multi-part containers); "
-                "shard csr/coo/cmrs/ell/sell instead")
+                "sharded BSR not supported (block-dense container); "
+                "shard csr/coo/cmrs/ell/sell/hyb instead")
         cls = FORMATS[format]
         self.is_sell = format in ("sell", "sell_c_sigma")
+        self.is_hyb = format == "hyb"
         self.format = format
         self.mesh = mesh
         self.axis = mesh.axis_names[0]
@@ -141,7 +144,21 @@ class RowShardedSpmv:
                 cls.from_coo(rps, ncols, rows[sel] - lo, cols[sel], vals[sel],
                              **fmt_kwargs)
             )
-        arrays, chunk, kv, self.is_seg = _unify_plans(shards)
+        arrays, chunk, kv, self.is_seg = _unify_plans([s.plan for s in shards])
+        self.st_spill = None
+        if self.is_hyb:
+            # HYB is a two-part plan: the panel part unified above, the
+            # segmented spill part unified separately (its own geometry).
+            from spmv_tpu.formats.base import _empty_seg
+
+            spill = [s.spill_plan if s.spill_plan is not None
+                     else _empty_seg(rps, ncols, chunk) for s in shards]
+            sp_arrays, sp_chunk, sp_kv, _ = _unify_plans(spill)
+            arrays.update({f"sp_{k}": v for k, v in sp_arrays.items()})
+            self.st_spill = _ShardStatics(
+                chunk=sp_chunk, kv=sp_kv, is_seg=True, is_row=True,
+                nrows=nrows, ncols=ncols, rows_per_shard=rps, n_shards=D,
+            )
         if self.is_sell:
             # per-shard epilogue metadata: every shard has the same row
             # count, so the shapes already agree.
@@ -166,6 +183,7 @@ class RowShardedSpmv:
 
     def _build(self):
         st, axis, mesh = self.st, self.axis, self.mesh
+        st_spill = self.st_spill
         gather_x = self.gather_x
         is_sell = self.is_sell
         names = list(self.arrays)
@@ -181,6 +199,9 @@ class RowShardedSpmv:
             if st.is_seg:
                 return segmented_spmv(dev, x2d)
             y = panel_spmv(dev, x2d)
+            if st_spill is not None:  # HYB: add the segmented spill partial
+                sp = {k[3:]: v for k, v in a.items() if k.startswith("sp_")}
+                y = y + segmented_spmv(_make_dev(sp, st_spill), x2d)
             if is_sell:
                 y2 = y.reshape(nb, LANES)
                 if nb < 8:  # epilogue windows always slice 8 table rows
@@ -222,10 +243,10 @@ class ColShardedSpmv:
         from spmv_tpu.api import FORMATS
 
         format = format.lower()
-        if format in _UNSUPPORTED:
+        if format in _UNSUPPORTED or format == "hyb":
             raise NotImplementedError(
-                "sharded HYB not supported (two-stream container); "
-                "shard csr/coo/cmrs/ell instead")
+                "column-sharded HYB/BSR not supported; use RowShardedSpmv "
+                "for hyb, or shard csr/coo/cmrs/ell here")
         if format in _PANEL_FORMATS and format != "ell":
             raise NotImplementedError("column-sharded SELL not supported yet")
         cls = FORMATS[format]
@@ -246,7 +267,7 @@ class ColShardedSpmv:
                 cls.from_coo(nrows, cps, rows[sel], cols[sel] - lo, vals[sel],
                              **fmt_kwargs)
             )
-        arrays, chunk, kv, self.is_seg = _unify_plans(shards)
+        arrays, chunk, kv, self.is_seg = _unify_plans([s.plan for s in shards])
         self.st = _ShardStatics(
             chunk=chunk, kv=kv, is_seg=self.is_seg, is_row=False,
             nrows=nrows, ncols=ncols, rows_per_shard=cps, n_shards=D,

@@ -6,11 +6,11 @@ overflow list (cuSPARSE's HYB).  TPU-native version: per (128-row block,
 128-col stripe) the mini-panel width is capped at the **byte-cost-optimal**
 point and the overflow elements spill into engine 2's segmented stream:
 
-    cost(cap) = 6 B · 128 · cap  +  8 B · Σ_r max(0, n_r − cap)
+    cost(cap) = _PANEL_B · 128 · cap  +  _SPILL_B · Σ_r max(0, n_r − cap)
 
-is minimized at the smallest cap where fewer than 768/8 = 96 of the
-block's 128 rows still exceed it — computed exactly per (block, stripe)
-from the row-count histogram.  On the cant-scale band matrix this cuts
+is minimized at the smallest cap where at most 128·_PANEL_B/_SPILL_B
+(= 48 at the tuned constants below) of the block's 128 rows still exceed
+it — computed exactly per (block, stripe) from the row-count histogram.  On the cant-scale band matrix this cuts
 panel padding from ~2.3× (pure ELL) to ~1.1× and spills ~25 % of the
 nonzeros, making HYB the fastest format in the suite.
 
@@ -54,7 +54,7 @@ def _optimal_caps(counts: np.ndarray, pair_id: np.ndarray,
     to pair ``pair_id[i]``.  cost(cap+1) − cost(cap) =
     128·_PANEL_B − _SPILL_B·H(cap) with H(c) = #groups of the pair whose
     count exceeds c, so the optimum is the smallest cap with
-    H(cap) ≤ 128·_PANEL_B/_SPILL_B = 96.
+    H(cap) ≤ 128·_PANEL_B/_SPILL_B (= 48 at the tuned constants).
     """
     thresh = int(LANES * _PANEL_B / _SPILL_B)
     caps = np.zeros(npairs, dtype=np.int64)

@@ -23,13 +23,14 @@ _tried = False
 
 
 def _ensure_built() -> bool:
-    if os.path.exists(_SO):
-        return True
+    # Always invoke make: it is a no-op when the .so is newer than the
+    # sources (the Makefile carries the deps), and it guarantees edits to
+    # plan_group.cpp take effect — a stale prebuilt .so must never win.
     try:
         subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
                        capture_output=True, timeout=120)
     except Exception:
-        return False
+        pass  # fall through: a preexisting .so (e.g. read-only tree) still loads
     return os.path.exists(_SO)
 
 

@@ -350,6 +350,17 @@ def write_coo(
             f.close()
 
 
+def is_real_mtx(path: str) -> bool:
+    """True when ``path`` exists and is an actual MatrixMarket file rather
+    than a git-LFS pointer (the bundled cant.mtx, ``databases/cant.mtx:1-3``
+    in the reference, is a pointer — benches must say so)."""
+    if not os.path.exists(path):
+        return False
+    with open(path, "rb") as f:
+        head = f.read(64)
+    return not head.startswith(b"version https://git-lfs")
+
+
 def read_path_or_synthesize(path: str, **synth_kwargs):
     """Load ``path`` if it is a real .mtx; if it is a git-LFS pointer (as the
     bundled ``databases/cant.mtx`` is, reference ``databases/cant.mtx:1-3``)

@@ -18,7 +18,8 @@ from dataclasses import dataclass
 
 import numpy as np
 
-__all__ = ["golden_spmv", "check_result", "CheckReport", "default_x", "EPSILON"]
+__all__ = ["golden_spmv", "check_result", "CheckReport", "default_x",
+           "EPSILON", "seg_engine_scale"]
 
 # Reference absolute tolerance (helper_functions.h:11) — valid for its fp64
 # path.  Our TPU compute path is fp32 (BASELINE.md: "single precision"), so
@@ -120,5 +121,45 @@ def engine_rel_tol(max_row_nnz: int) -> float:
     """Tolerance for the device engines.  The segmented engine reduces each
     row's pieces as differences of 127-element sublane-window prefix sums
     (MXU prefix, see kernels.engines), so its rounding scales with the
-    window, not the row — use k = max(row length, 127)."""
+    window, not the row — use k = max(row length, 127).
+
+    Caveat: with the default per-row ``scale = Σ|A_r||x|`` this model still
+    under-bounds rows that share a sublane window with much larger rows
+    (window/row magnitude ratio > ~11 breaches 32·eps·sqrt(127)).  For
+    matrices with wildly heterogeneous row scales pass
+    ``scale = seg_engine_scale(plan, x)`` instead, which bounds by the
+    actual window magnitudes."""
     return fp32_rel_tol(max(int(max_row_nnz), 127))
+
+
+def seg_engine_scale(plan, x: np.ndarray, row_abs: np.ndarray) -> np.ndarray:
+    """Per-row tolerance scale for the segmented engine that is honest for
+    heterogeneous row magnitudes: ``row Σ|v·x|  +  max window Σ|v·x|`` over
+    the 127-element sublane windows holding any of the row's elements.
+
+    The MXU prefix sum rounds at the magnitude of the whole sublane window,
+    so a small row packed next to a 100× larger one inherits the larger
+    row's rounding floor; the default per-row scale misses that.  Computed
+    exactly from the device plan's layout (``plan`` is a ``SegPlan``; the
+    panel engine needs no such correction — its lanes are row-pure).
+    ``row_abs`` is the per-row Σ|v||x| (``golden_spmv`` of the absolute
+    triplets).
+    """
+    absx = np.abs(np.asarray(x, dtype=np.float64)).reshape(-1)
+    tm = plan.vals.shape[0]
+    loc = plan.loc.astype(np.int64)
+    base = plan.sub_base[np.arange(tm) // 8].astype(np.int64)
+    col = (base[:, None] + (loc >> 7)) * 128 + (loc & 127)
+    # pad slots carry v == 0; their col may land in the zero-padded x-table
+    # tail — clamp so the |x| lookup stays in bounds.
+    col = np.minimum(col, absx.size - 1)
+    w_mag = (np.abs(plan.vals.astype(np.float64)) * absx[col]).sum(axis=1)
+
+    blocks = plan.sub_block[np.arange(tm) // 8].astype(np.int64)
+    present = plan.gidx != plan.pidx  # (TM,128): lids with a segment here
+    srow, lid = np.nonzero(present)
+    rowid = blocks[srow] * 128 + lid
+    win_scale = np.zeros(plan.nrows, dtype=np.float64)
+    valid = rowid < plan.nrows
+    np.maximum.at(win_scale, rowid[valid], w_mag[srow[valid]])
+    return np.asarray(row_abs, dtype=np.float64) + win_scale

@@ -26,7 +26,7 @@ def _data(n=700, seed=4):
     return info, r, c, v, x
 
 
-@pytest.mark.parametrize("fmt", ["csr", "coo", "cmrs", "ell", "sell"])
+@pytest.mark.parametrize("fmt", ["csr", "coo", "cmrs", "ell", "sell", "hyb"])
 @pytest.mark.parametrize("gather_x", [True, False])
 def test_row_sharded(mesh, fmt, gather_x):
     info, r, c, v, x = _data()
@@ -98,11 +98,17 @@ def test_ring_sharded(mesh, fmt):
     assert rep.ok, f"ring {fmt}: {rep}"
 
 
-def test_sharded_hyb_rejected(mesh):
+def test_sharded_unsupported_rejected(mesh):
+    """BSR (block-dense, plan-less) and ring/col HYB get the intended
+    NotImplementedError instead of a late AttributeError crash."""
     from spmv_tpu.dist.ring import RingShardedSpmv
 
     info, r, c, v, x = _data(n=300, seed=1)
-    with pytest.raises(NotImplementedError):
-        RowShardedSpmv("hyb", info.nrows, info.ncols, r, c, v, mesh)
-    with pytest.raises(NotImplementedError):
-        RingShardedSpmv("hyb", info.nrows, info.ncols, r, c, v, mesh)
+    for bad in ("bsr",):
+        with pytest.raises(NotImplementedError):
+            RowShardedSpmv(bad, info.nrows, info.ncols, r, c, v, mesh)
+    for bad in ("hyb", "bsr"):
+        with pytest.raises(NotImplementedError):
+            RingShardedSpmv(bad, info.nrows, info.ncols, r, c, v, mesh)
+        with pytest.raises(NotImplementedError):
+            ColShardedSpmv(bad, info.nrows, info.ncols, r, c, v, mesh)

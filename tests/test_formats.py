@@ -158,3 +158,32 @@ def test_vmem_budget_guard():
     # must point at the distributed layer.
     with pytest.raises(ValueError, match="RowShardedSpmv"):
         spmv_tpu.from_coo("csr", 3_000_000, 3_000_000, [0], [0], [1.0])
+
+
+@pytest.mark.parametrize("fmt", ["csr", "coo", "cmrs"])
+def test_heterogeneous_row_magnitudes(fmt):
+    """Rows whose magnitudes differ by 1e4 share sublane windows in the
+    segmented stream; the window-magnitude scale (oracle.seg_engine_scale)
+    must bound the prefix-difference rounding where the per-row scale
+    under-bounds it (ADVICE round-1, oracle.py:119)."""
+    from spmv_tpu.oracle import seg_engine_scale
+
+    info, r, c, v = synth.synthetic_cant(n=600, avg_nnz_per_row=12,
+                                         bandwidth=60, seed=21)
+    # scale each row by 10^(±2) alternating in short runs so tiny rows sit
+    # in the same 127-element window as rows 1e4× larger
+    row_scale = 10.0 ** (2.0 * np.where((r // 3) % 2 == 0, 1.0, -1.0))
+    v = (v * row_scale).astype(np.float64)
+    rng = np.random.default_rng(5)
+    x = rng.standard_normal(info.ncols)
+
+    a = spmv_tpu.from_coo(fmt, info.nrows, info.ncols, r, c, v)
+    y = np.asarray(a.matvec(x.astype(np.float32)))
+    expected = golden_spmv(info.nrows, r, c, v, x.astype(np.float32))
+    row_abs = golden_spmv(info.nrows, r, c, np.abs(v), np.abs(x.astype(np.float32)))
+    scale = seg_engine_scale(a.plan, x.astype(np.float32), row_abs)
+    assert (scale >= row_abs).all()  # window term only ever adds headroom
+    lengths = np.bincount(r, minlength=info.nrows)
+    rep = check_result(expected, y, tol_abs=1e-5, scale=scale,
+                       tol_rel=engine_rel_tol(int(lengths.max())))
+    assert rep.ok, f"{fmt}: {rep}"
