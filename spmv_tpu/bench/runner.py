@@ -144,27 +144,23 @@ def bench_format(
 
 
 def bytes_per_slot(a) -> float:
-    """HBM bytes streamed per padded slot: vals f32 + loc u16, plus the
-    gidx/pidx u8 segment bounds for the segmented engine."""
-    from spmv_tpu.device import DevSeg
-
-    return 8.0 if isinstance(a.dev, DevSeg) else 6.0
-
-
-def _dev_slots(dev) -> int:
-    """Device-resident padded slots (plan padding + superchunk padding)."""
-    return dev.vals[0].shape[0] * dev.kv * LANES
+    """HBM bytes streamed per padded element slot: panel = vals f32 + loc
+    u16 (6 B); segmented = (5P+2)/P for the P-packed stream (5.5 at P=4).
+    Computed exactly from the device arrays."""
+    slots, total = traffic_model(a)
+    return total / max(slots, 1)
 
 
 def traffic_model(a) -> tuple[int, float]:
-    """(padded slots, HBM bytes) streamed per SpMV, including a HYB
-    container's segmented spill stream."""
-    slots = _dev_slots(a.dev)
-    total = bytes_per_slot(a) * slots
+    """(padded element slots, HBM bytes) streamed per SpMV, including a
+    HYB container's segmented spill stream.  Bytes are the exact device
+    array sizes — no modeling."""
+    slots = a.dev.element_slots
+    total = float(a.dev.stream_bytes)
     spill = getattr(a, "dev_spill", None)
     if spill is not None:
-        slots += _dev_slots(spill)
-        total += 8.0 * _dev_slots(spill)
+        slots += spill.element_slots
+        total += float(spill.stream_bytes)
     return slots, total
 
 

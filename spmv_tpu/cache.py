@@ -22,7 +22,7 @@ import numpy as np
 __all__ = ["cache_key", "save_plan", "load_plan", "cached_convert",
            "set_plan_cache", "plan_lookup", "plan_store"]
 
-_CACHE_VERSION = 3  # bump when plan layouts change
+_CACHE_VERSION = 4  # bump when plan layouts change (4: P-packed SegPlan)
 
 _PLAN_CACHE_DIR: str | None = None
 

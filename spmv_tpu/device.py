@@ -2,13 +2,15 @@
 
 The measured Pallas fact that shapes this module (see docs/DESIGN.md): the
 grid pipeline sustains only ~67 GB/s **per input array** on the bench TPU,
-while distinct arrays stream concurrently (~400 GB/s at 12 arrays).  Each
-plan stream is therefore interleaved into several separate device arrays —
-``vals`` into ``KV`` arrays, ``loc`` into ``KV/2``, ``gidx``/``pidx`` into
-``KV/4`` — every array carrying the same byte volume, so one grid step
-fetches one **superchunk** (``KV·chunk`` sublane rows) via 2·KV concurrent
-DMAs.  Array ``k`` of a stream split ``K`` ways holds, for each step ``i``,
-superchunk rows ``[k·SC/K, (k+1)·SC/K)`` — plain reshape interleaving.
+while distinct arrays stream concurrently (~530-620 GB/s at 12-14 arrays
+in-engine).  Each plan stream is therefore interleaved into several
+separate device arrays; one grid step fetches one **superchunk**
+(``ns·chunk`` sublane rows) over the concurrent DMAs.
+
+Panel streams (engine 1): ``vals`` f32 split ``kv`` ways, ``loc`` u16
+split ``kv/2`` ways.  Segmented streams (engine 2, P-packed — see
+``formats.base.SegPlan``): per value plane ``kva`` arrays (plane-major
+tuple), one u8 array per ``lo`` plane, single u8 ``hi``/``gidx`` arrays.
 
 The containers are jax pytrees: the split arrays are leaves, the geometry
 is static aux data, so ``jit(spmv)(dev, x2d)`` specializes per geometry.
@@ -33,7 +35,7 @@ from spmv_tpu.formats.base import (
 
 __all__ = ["DevPanel", "DevSeg", "x_table_rows", "x_to_table", "y_from_padded"]
 
-# (chunk, KV) choices, largest superchunk first.  SC = KV·chunk sublane rows.
+# (chunk, NS) choices, largest superchunk first.  SC = NS·chunk sublane rows.
 _GEOMETRIES = ((256, 8), (128, 4), (64, 2), (64, 1))
 
 # The engines keep the whole x table and the whole y in VMEM (~16 MB/core);
@@ -53,11 +55,17 @@ def _check_fits(nrows: int, ncols: int) -> None:
 
 
 def pick_geometry(tm_rows: int) -> tuple[int, int]:
-    """Largest (chunk, KV) whose superchunk keeps padding overhead small."""
-    for chunk, kv in _GEOMETRIES:
-        if tm_rows >= 2 * chunk * kv or (chunk, kv) == _GEOMETRIES[-1]:
-            return chunk, kv
+    """Largest (chunk, NS) whose superchunk keeps padding overhead small."""
+    for chunk, ns in _GEOMETRIES:
+        if tm_rows >= 2 * chunk * ns or (chunk, ns) == _GEOMETRIES[-1]:
+            return chunk, ns
     return _GEOMETRIES[-1]
+
+
+def seg_kva(pack: int, ns: int) -> int:
+    """vals arrays per plane: keep ~8 value arrays total for DMA
+    concurrency, bounded by the sub-chunks per step."""
+    return max(min(8 // pack, ns), 1)
 
 
 def split_stream(x: np.ndarray, sc: int, k: int) -> tuple[np.ndarray, ...]:
@@ -75,15 +83,15 @@ def _pad_rows(x: np.ndarray, rows: int) -> np.ndarray:
     return np.pad(x, [(0, rows - x.shape[0])] + [(0, 0)] * (x.ndim - 1))
 
 
-def split_plan_arrays(arrays: dict, chunk: int, kv: int) -> dict:
-    """Pad a plan's np arrays to a whole number of superchunks and split
-    each stream into its interleaved device arrays.  Returns a flat dict
-    name->np array (``vals0..``, ``loc0..``, ``gidx0..``, ``pidx0..``,
-    ``sub_block``, ``sub_base``)."""
-    sc = chunk * kv
+def split_panel_arrays(arrays: dict, chunk: int, ns: int) -> dict:
+    """Pad a panel plan's np arrays to a whole number of superchunks and
+    split each stream into its interleaved device arrays.  Returns a flat
+    dict name->np array (``vals0..``, ``loc0..``, ``sub_block``,
+    ``sub_base``)."""
+    sc = chunk * ns
     tm = round_up(max(arrays["vals"].shape[0], sc), sc)
     out = {}
-    for name, k in _stream_splits(kv, "gidx" in arrays):
+    for name, k in (("vals", ns), ("loc", max(ns // 2, 1))):
         padded = _pad_rows(arrays[name], tm)
         for j, part in enumerate(split_stream(padded, sc, k)):
             out[f"{name}{j}"] = part
@@ -93,104 +101,144 @@ def split_plan_arrays(arrays: dict, chunk: int, kv: int) -> dict:
     return out
 
 
-def _stream_splits(kv: int, seg: bool):
-    streams = [("vals", kv), ("loc", max(kv // 2, 1))]
-    if seg:
-        streams += [("gidx", max(kv // 4, 1)), ("pidx", max(kv // 4, 1))]
-    return streams
-
-
-def _gather_tuples(d: dict, kv: int, seg: bool):
-    import jax.numpy as jnp
-
-    t = {}
-    for name, k in _stream_splits(kv, seg):
-        t[name] = tuple(jnp.asarray(d[f"{name}{j}"]) for j in range(k))
-    t["sub_block"] = jnp.asarray(d["sub_block"])
-    t["sub_base"] = jnp.asarray(d["sub_base"])
-    return t
+def split_seg_arrays(arrays: dict, chunk: int, ns: int, pack: int) -> dict:
+    """Seg-plan splitter: ``vals``/``lo`` are (TM, P, 128) plane stacks;
+    plane pp of vals splits ``kva`` ways into ``vals{pp*kva+j}``, plane pp
+    of lo becomes ``lo{pp}``, ``hi``/``gidx`` stay whole."""
+    sc = chunk * ns
+    tm = round_up(max(arrays["vals"].shape[0], sc), sc)
+    kva = seg_kva(pack, ns)
+    out = {}
+    v = _pad_rows(arrays["vals"], tm)
+    lo = _pad_rows(arrays["lo"], tm)
+    for pp in range(pack):
+        for j, part in enumerate(split_stream(
+                np.ascontiguousarray(v[:, pp, :]), sc, kva)):
+            out[f"vals{pp * kva + j}"] = part
+        out[f"lo{pp}"] = np.ascontiguousarray(lo[:, pp, :])
+    out["hi"] = _pad_rows(arrays["hi"], tm)
+    out["gidx"] = _pad_rows(arrays["gidx"], tm)
+    nsub = tm // SUBLANES
+    out["sub_block"] = _pad_rows(arrays["sub_block"], nsub)
+    out["sub_base"] = _pad_rows(arrays["sub_base"], nsub)
+    return out
 
 
 @dataclass(frozen=True)
 class DevPanel:
-    vals: tuple  # KV × (TM/KV, 128) f32
-    loc: tuple  # KV/2 × (TM·2/KV, 128) u16
+    vals: tuple  # NS × (TM/NS, 128) f32
+    loc: tuple  # NS/2 × (TM·2/NS, 128) u16
     sub_block: object  # (TM/8,) i32
     sub_base: object  # (TM/8,) i32
     chunk: int
-    kv: int
+    kv: int  # sub-chunks per superchunk step (= number of vals arrays)
     nrows: int
     ncols: int
     nnz: int
 
     @classmethod
     def from_plan(cls, p: PanelPlan) -> "DevPanel":
+        import jax.numpy as jnp
+
         _check_fits(p.nrows, p.ncols)
-        chunk, kv = pick_geometry(p.vals.shape[0])
-        d = split_plan_arrays(
+        chunk, ns = pick_geometry(p.vals.shape[0])
+        d = split_panel_arrays(
             {"vals": p.vals, "loc": p.loc,
-             "sub_block": p.sub_block, "sub_base": p.sub_base}, chunk, kv)
-        t = _gather_tuples(d, kv, seg=False)
-        return cls(vals=t["vals"], loc=t["loc"], sub_block=t["sub_block"],
-                   sub_base=t["sub_base"], chunk=chunk, kv=kv,
-                   nrows=p.nrows, ncols=p.ncols, nnz=p.nnz)
+             "sub_block": p.sub_block, "sub_base": p.sub_base}, chunk, ns)
+        kl = max(ns // 2, 1)
+        return cls(
+            vals=tuple(jnp.asarray(d[f"vals{j}"]) for j in range(ns)),
+            loc=tuple(jnp.asarray(d[f"loc{j}"]) for j in range(kl)),
+            sub_block=jnp.asarray(d["sub_block"]),
+            sub_base=jnp.asarray(d["sub_base"]),
+            chunk=chunk, kv=ns, nrows=p.nrows, ncols=p.ncols, nnz=p.nnz)
 
     @property
     def out_blocks(self) -> int:
         return cdiv(max(self.nrows, 1), LANES)
 
+    @property
+    def element_slots(self) -> int:
+        return self.vals[0].shape[0] * self.kv * LANES
+
+    @property
+    def stream_bytes(self) -> int:
+        return (sum(int(np.prod(a.shape)) * a.dtype.itemsize
+                    for a in self.vals + self.loc))
+
 
 @dataclass(frozen=True)
 class DevSeg:
-    vals: tuple
-    loc: tuple
-    gidx: tuple  # KV/4 × (TM·4/KV, 128) u8
-    pidx: tuple
-    sub_block: object
-    sub_base: object
+    vals: tuple  # P·kva × (TM/kva, 128) f32, plane-major
+    lo: tuple  # P × (TM, 128) u8
+    hi: object  # (TM, 128) u8
+    gidx: object  # (TM, 128) u8 (filled running max)
+    sub_block: object  # (TM/8,) i32
+    sub_base: object  # (TM/8,) i32
     chunk: int
-    kv: int
+    ns: int  # sub-chunks per superchunk step
+    pack: int  # P — elements per quad slot
     nrows: int
     ncols: int
     nnz: int
 
     @classmethod
     def from_plan(cls, p: SegPlan) -> "DevSeg":
+        import jax.numpy as jnp
+
         _check_fits(p.nrows, p.ncols)
-        chunk, kv = pick_geometry(p.vals.shape[0])
-        d = split_plan_arrays(
-            {"vals": p.vals, "loc": p.loc, "gidx": p.gidx, "pidx": p.pidx,
-             "sub_block": p.sub_block, "sub_base": p.sub_base}, chunk, kv)
-        t = _gather_tuples(d, kv, seg=True)
-        return cls(vals=t["vals"], loc=t["loc"], gidx=t["gidx"],
-                   pidx=t["pidx"], sub_block=t["sub_block"],
-                   sub_base=t["sub_base"], chunk=chunk, kv=kv,
-                   nrows=p.nrows, ncols=p.ncols, nnz=p.nnz)
+        chunk, ns = pick_geometry(p.vals.shape[0])
+        d = split_seg_arrays(
+            {"vals": p.vals, "lo": p.lo, "hi": p.hi, "gidx": p.gidx,
+             "sub_block": p.sub_block, "sub_base": p.sub_base},
+            chunk, ns, p.pack)
+        kva = seg_kva(p.pack, ns)
+        return cls(
+            vals=tuple(jnp.asarray(d[f"vals{j}"])
+                       for j in range(p.pack * kva)),
+            lo=tuple(jnp.asarray(d[f"lo{j}"]) for j in range(p.pack)),
+            hi=jnp.asarray(d["hi"]),
+            gidx=jnp.asarray(d["gidx"]),
+            sub_block=jnp.asarray(d["sub_block"]),
+            sub_base=jnp.asarray(d["sub_base"]),
+            chunk=chunk, ns=ns, pack=p.pack,
+            nrows=p.nrows, ncols=p.ncols, nnz=p.nnz)
+
+    @property
+    def kva(self) -> int:
+        return len(self.vals) // self.pack
 
     @property
     def out_blocks(self) -> int:
         return cdiv(max(self.nrows, 1), LANES)
 
+    @property
+    def element_slots(self) -> int:
+        return self.vals[0].shape[0] * self.kva * LANES * self.pack
 
-def _register(cls):
-    leaf_names = [f.name for f in fields(cls)
-                  if f.name not in ("chunk", "kv", "nrows", "ncols", "nnz")]
+    @property
+    def stream_bytes(self) -> int:
+        arrs = list(self.vals) + list(self.lo) + [self.hi, self.gidx]
+        return sum(int(np.prod(a.shape)) * a.dtype.itemsize for a in arrs)
+
+
+def _register(cls, statics):
+    leaf_names = [f.name for f in fields(cls) if f.name not in statics]
 
     def flatten(d):
-        return tuple(getattr(d, n) for n in leaf_names), (
-            d.chunk, d.kv, d.nrows, d.ncols, d.nnz)
+        return (tuple(getattr(d, n) for n in leaf_names),
+                tuple(getattr(d, n) for n in statics))
 
     def unflatten(aux, children):
         kw = dict(zip(leaf_names, children))
-        kw.update(chunk=aux[0], kv=aux[1], nrows=aux[2], ncols=aux[3],
-                  nnz=aux[4])
+        kw.update(zip(statics, aux))
         return cls(**kw)
 
     jax.tree_util.register_pytree_node(cls, flatten, unflatten)
 
 
-_register(DevPanel)
-_register(DevSeg)
+_register(DevPanel, ("chunk", "kv", "nrows", "ncols", "nnz"))
+_register(DevSeg, ("chunk", "ns", "pack", "nrows", "ncols", "nnz"))
 
 
 def x_table_rows(ncols: int) -> int:

@@ -50,6 +50,11 @@ class RingShardedSpmv:
         cols = np.asarray(cols, dtype=np.int64)
         vals = np.asarray(vals)
 
+        from spmv_tpu.formats.base import seg_pack_for
+
+        if format in ("csr", "coo", "cmrs") and "pack" not in fmt_kwargs:
+            fmt_kwargs = dict(fmt_kwargs,
+                              pack=seg_pack_for(rows, cols, nrows, ncols))
         rps = round_up(max(cdiv(nrows, D), LANES), LANES)
         cps = round_up(max(cdiv(ncols, D), LANES), LANES)
         # D×D sub-plans: (row slab d) × (column block j), unified together
@@ -62,12 +67,14 @@ class RingShardedSpmv:
                 shards.append(cls.from_coo(
                     rps, cps, rows[sel] - d * rps, cols[sel] - j * cps,
                     vals[sel], **fmt_kwargs))
-        arrays, chunk, kv, self.is_seg = _unify_plans([s.plan for s in shards])
+        arrays, chunk, ns, self.is_seg, pack = _unify_plans(
+            [s.plan for s in shards])
         # (D·D, ...) -> (D, D, ...): leading axis = device, second = block.
         arrays = {k: v.reshape(D, D, *v.shape[1:]) for k, v in arrays.items()}
         self.st = _ShardStatics(
-            chunk=chunk, kv=kv, is_seg=self.is_seg, is_row=True,
+            chunk=chunk, ns=ns, is_seg=self.is_seg, is_row=True,
             nrows=nrows, ncols=ncols, rows_per_shard=rps, n_shards=D,
+            pack=pack,
         )
         self.rps, self.cps, self.D = rps, cps, D
         sharded = NamedSharding(mesh, P(self.axis))

@@ -36,10 +36,12 @@ from spmv_tpu.device import (
     DevPanel,
     DevSeg,
     pick_geometry,
-    split_plan_arrays,
+    seg_kva,
+    split_panel_arrays,
+    split_seg_arrays,
     x_table_rows,
 )
-from spmv_tpu.formats.base import LANES, cdiv, round_up
+from spmv_tpu.formats.base import LANES, cdiv, round_up, seg_pack_for
 from spmv_tpu.kernels.engines import (
     inverse_permute_blocks,
     panel_spmv,
@@ -64,20 +66,29 @@ def _pad_rows(arr: np.ndarray, target: int) -> np.ndarray:
 def _unify_plans(plans):
     """Pad per-shard plan arrays to one shape, pick a common device-stream
     geometry, split, and stack shard-major.  Pad rows are inert all-zero
-    subtiles (they accumulate 0 into block 0)."""
+    subtiles (they accumulate 0 into block 0).  Seg plans must share one
+    pack P — the Spmv constructors choose it globally via ``seg_pack_for``
+    and pass it to every shard build."""
     is_seg = hasattr(plans[0], "gidx")
-    names = ["vals", "loc"] + (["gidx", "pidx"] if is_seg else [])
+    pack = 1
+    if is_seg:
+        packs = {p.pack for p in plans}
+        assert len(packs) == 1, f"shards disagree on pack: {packs}"
+        pack = plans[0].pack
+    names = ["vals", "lo", "hi", "gidx"] if is_seg else ["vals", "loc"]
     tm = max(p.vals.shape[0] for p in plans)
-    chunk, kv = pick_geometry(tm)
+    chunk, ns = pick_geometry(tm)
     stacked: dict[str, list] = {}
     for p in plans:
         arrays = {n: _pad_rows(getattr(p, n), tm) for n in names}
         arrays["sub_block"] = p.sub_block
         arrays["sub_base"] = p.sub_base
-        split = split_plan_arrays(arrays, chunk, kv)
+        split = (split_seg_arrays(arrays, chunk, ns, pack) if is_seg
+                 else split_panel_arrays(arrays, chunk, ns))
         for k, v in split.items():
             stacked.setdefault(k, []).append(v)
-    return ({k: np.stack(v) for k, v in stacked.items()}, chunk, kv, is_seg)
+    return ({k: np.stack(v) for k, v in stacked.items()}, chunk, ns, is_seg,
+            pack)
 
 
 def _make_dev(arrays: dict, statics: "_ShardStatics"):
@@ -85,28 +96,32 @@ def _make_dev(arrays: dict, statics: "_ShardStatics"):
     def tup(name, k):
         return tuple(arrays[f"{name}{j}"] for j in range(k))
 
-    kv = statics.kv
-    kl, kg = max(kv // 2, 1), max(kv // 4, 1)
+    ns = statics.ns
     common = dict(sub_block=arrays["sub_block"], sub_base=arrays["sub_base"],
-                  chunk=statics.chunk, kv=kv,
+                  chunk=statics.chunk,
                   nrows=statics.rows_per_shard if statics.is_row else statics.nrows,
                   ncols=statics.ncols, nnz=0)
     if statics.is_seg:
-        return DevSeg(vals=tup("vals", kv), loc=tup("loc", kl),
-                      gidx=tup("gidx", kg), pidx=tup("pidx", kg), **common)
-    return DevPanel(vals=tup("vals", kv), loc=tup("loc", kl), **common)
+        pack = statics.pack
+        kva = seg_kva(pack, ns)
+        return DevSeg(vals=tup("vals", pack * kva), lo=tup("lo", pack),
+                      hi=arrays["hi"], gidx=arrays["gidx"], ns=ns, pack=pack,
+                      **common)
+    return DevPanel(vals=tup("vals", ns), loc=tup("loc", max(ns // 2, 1)),
+                    kv=ns, **common)
 
 
 @dataclass
 class _ShardStatics:
     chunk: int
-    kv: int
+    ns: int
     is_seg: bool
     is_row: bool
     nrows: int
     ncols: int
     rows_per_shard: int
     n_shards: int
+    pack: int = 1
 
 
 class RowShardedSpmv:
@@ -135,6 +150,12 @@ class RowShardedSpmv:
         cols = np.asarray(cols)
         vals = np.asarray(vals)
 
+        # Every shard must build with the same packed-engine P — choose it
+        # once from the full matrix's segment-size histogram.
+        if format in ("csr", "coo", "cmrs", "hyb") and "pack" not in fmt_kwargs:
+            fmt_kwargs = dict(fmt_kwargs,
+                              pack=seg_pack_for(rows, cols, nrows, ncols))
+
         rps = round_up(max(cdiv(nrows, D), LANES), LANES)
         shards = []
         for d in range(D):
@@ -144,7 +165,8 @@ class RowShardedSpmv:
                 cls.from_coo(rps, ncols, rows[sel] - lo, cols[sel], vals[sel],
                              **fmt_kwargs)
             )
-        arrays, chunk, kv, self.is_seg = _unify_plans([s.plan for s in shards])
+        arrays, chunk, ns, self.is_seg, pack = _unify_plans(
+            [s.plan for s in shards])
         self.st_spill = None
         if self.is_hyb:
             # HYB is a two-part plan: the panel part unified above, the
@@ -152,12 +174,14 @@ class RowShardedSpmv:
             from spmv_tpu.formats.base import _empty_seg
 
             spill = [s.spill_plan if s.spill_plan is not None
-                     else _empty_seg(rps, ncols, chunk) for s in shards]
-            sp_arrays, sp_chunk, sp_kv, _ = _unify_plans(spill)
+                     else _empty_seg(rps, ncols, chunk, fmt_kwargs["pack"])
+                     for s in shards]
+            sp_arrays, sp_chunk, sp_ns, _, sp_pack = _unify_plans(spill)
             arrays.update({f"sp_{k}": v for k, v in sp_arrays.items()})
             self.st_spill = _ShardStatics(
-                chunk=sp_chunk, kv=sp_kv, is_seg=True, is_row=True,
+                chunk=sp_chunk, ns=sp_ns, is_seg=True, is_row=True,
                 nrows=nrows, ncols=ncols, rows_per_shard=rps, n_shards=D,
+                pack=sp_pack,
             )
         if self.is_sell:
             # per-shard epilogue metadata: every shard has the same row
@@ -167,8 +191,9 @@ class RowShardedSpmv:
             arrays["perm_idx"] = np.stack(
                 [np.asarray(s._perm_idx) for s in shards])
         self.st = _ShardStatics(
-            chunk=chunk, kv=kv, is_seg=self.is_seg, is_row=True,
+            chunk=chunk, ns=ns, is_seg=self.is_seg, is_row=True,
             nrows=nrows, ncols=ncols, rows_per_shard=rps, n_shards=D,
+            pack=pack,
         )
         self.gather_x = gather_x
         sharded = NamedSharding(mesh, P(self.axis))
@@ -258,6 +283,9 @@ class ColShardedSpmv:
         cols = np.asarray(cols, dtype=np.int64)
         vals = np.asarray(vals)
 
+        if format in ("csr", "coo", "cmrs") and "pack" not in fmt_kwargs:
+            fmt_kwargs = dict(fmt_kwargs,
+                              pack=seg_pack_for(rows, cols, nrows, ncols))
         cps = round_up(max(cdiv(ncols, D), LANES), LANES)
         shards = []
         for d in range(D):
@@ -267,10 +295,12 @@ class ColShardedSpmv:
                 cls.from_coo(nrows, cps, rows[sel], cols[sel] - lo, vals[sel],
                              **fmt_kwargs)
             )
-        arrays, chunk, kv, self.is_seg = _unify_plans([s.plan for s in shards])
+        arrays, chunk, ns, self.is_seg, pack = _unify_plans(
+            [s.plan for s in shards])
         self.st = _ShardStatics(
-            chunk=chunk, kv=kv, is_seg=self.is_seg, is_row=False,
+            chunk=chunk, ns=ns, is_seg=self.is_seg, is_row=False,
             nrows=nrows, ncols=ncols, rows_per_shard=cps, n_shards=D,
+            pack=pack,
         )
         sharded = NamedSharding(mesh, P(self.axis))
         self.arrays = {

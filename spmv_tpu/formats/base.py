@@ -79,29 +79,58 @@ class PanelPlan:
     def padding_ratio(self) -> float:
         return self.padded_slots / max(self.nnz, 1)
 
+    @property
+    def stream_bytes(self) -> int:
+        """Exact HBM bytes of the plan streams per SpMV."""
+        return self.vals.nbytes + self.loc.nbytes
+
 
 @dataclass
 class SegPlan:
-    """Engine-2 device layout (stripe-pure segmented nnz stream)."""
+    """Engine-2 device layout: the P-packed stripe-pure segmented stream.
 
-    vals: np.ndarray  # (TM, 128) f32
-    loc: np.ndarray  # (TM, 128) u16
-    gidx: np.ndarray  # (TM, 128) u8 — last position of segment j in the row
-    pidx: np.ndarray  # (TM, 128) u8 — (first position − 1); == gidx if absent
+    Each of the TM×128 *quad slots* holds ``pack`` (P ∈ {1,2,4}) elements in
+    separate value/column planes; the kernel combines them on the VPU
+    (``p = Σ_p v_p · x[lo_p]``) before the MXU prefix, so prefix cycles and
+    segment-bound bytes per element drop by P× (measured 42 → 113 Gelem/s
+    at P=4 on the bench chip, ``scripts/probe_pack.py``).  Per quad slot the
+    stream is 4P B values + P B lo + 1 B hi + 1 B gidx = (5P+2)/P bytes per
+    element (5.5 at P=4, vs 8 for the round-1 unpacked layout).
+
+    ``gidx`` is *filled*: ``gidx[srow, lid]`` = last quad position of any
+    segment with lid' ≤ lid in the sublane row (0 if none), a running max —
+    the kernel derives the old ``pidx`` as a one-lane shift, saving the
+    fourth index stream entirely.  ``hi`` is the per-slot stripe offset
+    (uniform within each sublane row — the exactness condition of the
+    two-step gather).
+    """
+
+    vals: np.ndarray  # (TM, P, 128) f32 — value planes
+    lo: np.ndarray  # (TM, P, 128) u8 — in-stripe column per plane
+    hi: np.ndarray  # (TM, 128) u8 — stripe offset, uniform per sublane row
+    gidx: np.ndarray  # (TM, 128) u8 — filled last-quad-position running max
     sub_block: np.ndarray  # (TM//8,) i32
     sub_base: np.ndarray  # (TM//8,) i32
     nrows: int
     ncols: int
     nnz: int
     chunk: int
+    pack: int  # P — elements per quad slot
 
     @property
     def padded_slots(self) -> int:
-        return self.vals.shape[0] * LANES
+        """Element capacity (each quad slot holds ``pack`` element slots)."""
+        return self.vals.shape[0] * LANES * self.pack
 
     @property
     def padding_ratio(self) -> float:
         return self.padded_slots / max(self.nnz, 1)
+
+    @property
+    def stream_bytes(self) -> int:
+        """Exact HBM bytes of the plan streams per SpMV."""
+        return (self.vals.nbytes + self.lo.nbytes + self.hi.nbytes
+                + self.gidx.nbytes)
 
 
 def _group_subtiles(subrow_blk: np.ndarray, subrow_stp: np.ndarray, S: int,
@@ -177,16 +206,51 @@ def _empty_panel(nrows, ncols, chunk) -> PanelPlan:
     )
 
 
-def _empty_seg(nrows, ncols, chunk) -> SegPlan:
+def _empty_seg(nrows, ncols, chunk, pack: int = 1) -> SegPlan:
     return SegPlan(
-        vals=np.zeros((chunk, LANES), np.float32),
-        loc=np.zeros((chunk, LANES), np.uint16),
+        vals=np.zeros((chunk, pack, LANES), np.float32),
+        lo=np.zeros((chunk, pack, LANES), np.uint8),
+        hi=np.zeros((chunk, LANES), np.uint8),
         gidx=np.zeros((chunk, LANES), np.uint8),
-        pidx=np.zeros((chunk, LANES), np.uint8),
         sub_block=np.zeros(chunk // SUBLANES, np.int32),
         sub_base=np.zeros(chunk // SUBLANES, np.int32),
-        nrows=nrows, ncols=ncols, nnz=0, chunk=chunk,
+        nrows=nrows, ncols=ncols, nnz=0, chunk=chunk, pack=pack,
     )
+
+
+# Measured quad-slot processing rates of the packed segmented kernel
+# (scripts/probe_pack.py on the bench v5e: 48.7/70.3/113.1 Gelem/s at
+# P=1/2/4 → per-quad 48.7/35.2/28.3 G/s) and the in-engine streaming
+# ceiling (~600 GB/s at 12-14 arrays).  Used to pick P per matrix.
+_QUAD_RATE = {1: 48e9, 2: 35e9, 4: 28e9}
+_STREAM_BW = 600e9
+
+
+def _pick_pack(seg_sizes: np.ndarray) -> int:
+    """Elements per quad slot minimizing modeled time: long segments (band
+    matrices) amortize P=4's per-quad cost over 4 elements; hypersparse
+    segments (1-2 elements) would pad 4× and pick P=1."""
+    best_p, best_t = 1, np.inf
+    for p in (1, 2, 4):
+        quads = float(np.sum(-(-seg_sizes // p)))
+        t = max(quads * (5 * p + 2) / _STREAM_BW, quads / _QUAD_RATE[p])
+        if t < best_t:
+            best_p, best_t = p, t
+    return best_p
+
+
+def seg_pack_for(rows, cols, nrows: int, ncols: int) -> int:
+    """The packed-engine P the full matrix would pick — the dist layer
+    computes it once and passes it to every shard build so the unified
+    shard plans share one stream layout."""
+    rows = np.asarray(rows, dtype=np.int64)
+    cols = np.asarray(cols, dtype=np.int64)
+    if rows.size == 0:
+        return 1
+    nstripes = cdiv(max(ncols, 1), LANES)
+    segkey = ((rows >> 7) * nstripes + (cols >> 7)) * (nrows + 1) + rows
+    _, sizes = np.unique(segkey, return_counts=True)
+    return _pick_pack(sizes)
 
 
 def build_seg_plan(
@@ -198,9 +262,16 @@ def build_seg_plan(
     *,
     chunk: int = DEFAULT_CHUNK,
     dtype=np.float32,
+    pack: int | None = None,
 ) -> SegPlan:
     """Pack COO triplets (any order; duplicates sum in-kernel) into the
-    stripe-pure segmented stream."""
+    P-packed stripe-pure segmented stream (see ``SegPlan``).
+
+    A *segment* is a (row, stripe) group; each segment pads to a whole
+    number of quads (multiples of P elements) so segment boundaries align
+    with quad slots and the in-kernel prefix difference stays exact.
+    ``pack=None`` picks P from the segment-size histogram (``_pick_pack``).
+    """
     from spmv_tpu import cache as _cache
 
     rows = np.asarray(rows, dtype=np.int64)
@@ -208,9 +279,9 @@ def build_seg_plan(
     vals = np.asarray(vals)
     nnz = rows.size
     if nnz == 0:
-        return _empty_seg(nrows, ncols, chunk)
-    hit = _cache.plan_lookup("seg", rows, cols, vals, nrows, ncols, chunk,
-                             SegPlan)
+        return _empty_seg(nrows, ncols, chunk, pack or 1)
+    hit = _cache.plan_lookup("seg2", rows, cols, vals, nrows, ncols,
+                             (chunk, pack or 0), SegPlan)
     if hit is not None:
         return hit
     S = x_stripes(ncols)
@@ -221,61 +292,83 @@ def build_seg_plan(
     r, c, v = rows[order], cols[order], vals[order]
     blk, stp = blk[order], stp[order]
 
-    # (block, stripe) runs → 127-wide sublane rows with a leading zero pad.
+    # (block, stripe) runs; (row) segments within each run.
     nstripes = cdiv(max(ncols, 1), LANES)
-    run_id, run_sizes, _ = _run_heads(blk * nstripes + stp)
-    run_starts = np.zeros(run_sizes.size + 1, dtype=np.int64)
-    np.cumsum(run_sizes, out=run_starts[1:])
-    idx_in_run = np.arange(nnz, dtype=np.int64) - run_starts[run_id]
-    subrow_in_run = idx_in_run // ROW_CAP
-    pos = 1 + idx_in_run % ROW_CAP  # lane 0 reserved as the zero pad
+    runkey = blk * nstripes + stp
+    run_id, run_sizes, _ = _run_heads(runkey)
+    seg_id, seg_sizes, seg_head = _run_heads(runkey * (nrows + 1) + r)
+    P = pack if pack is not None else _pick_pack(seg_sizes)
 
-    run_nsub = -(-run_sizes // ROW_CAP)
+    # Quad stream: segment g contributes ceil(s_g/P) quads, in element order.
+    q_seg = -(-seg_sizes // P)
+    nseg = seg_sizes.size
+    nq = int(q_seg.sum())
+    quad_seg = np.repeat(np.arange(nseg, dtype=np.int64), q_seg)
+    qstarts = np.zeros(nseg + 1, dtype=np.int64)
+    np.cumsum(q_seg, out=qstarts[1:])
+
+    seg_run = run_id[seg_head]
+    quad_run = seg_run[quad_seg]
+    run_q_starts = np.searchsorted(quad_run, np.arange(run_sizes.size))
+    quad_in_run = np.arange(nq, dtype=np.int64) - run_q_starts[quad_run]
+    qpos = 1 + quad_in_run % ROW_CAP  # lane 0 reserved as the zero pad
+    subrow_in_run = quad_in_run // ROW_CAP
+
+    run_quads = np.bincount(quad_run, minlength=run_sizes.size)
+    run_nsub = -(-run_quads // ROW_CAP)
     subrow_start = np.zeros(run_sizes.size + 1, dtype=np.int64)
     np.cumsum(run_nsub, out=subrow_start[1:])
-    elem_subrow = subrow_start[run_id] + subrow_in_run
+    quad_subrow = subrow_start[quad_run] + subrow_in_run
 
-    heads = np.zeros(nnz, dtype=bool)
-    heads[run_starts[:-1]] = True
-    subrow_blk = np.repeat(blk[heads], run_nsub)
-    subrow_stp = np.repeat(stp[heads], run_nsub)
+    run_head_elem = np.zeros(nnz, dtype=bool)
+    run_head_elem[np.searchsorted(run_id, np.arange(run_sizes.size))] = True
+    subrow_blk = np.repeat(blk[run_head_elem], run_nsub)
+    subrow_stp = np.repeat(stp[run_head_elem], run_nsub)
 
     slot, sub_block, sub_base, TM = _group_subtiles(
         subrow_blk, subrow_stp, S, chunk)
-    final_row = slot[elem_subrow]
+    quad_row = slot[quad_subrow]  # final sublane row of each quad
 
-    v2d = np.zeros((TM, LANES), dtype=dtype)
-    # The two-step gather is exact only when hi is uniform across the whole
-    # sublane row — pad slots must carry the row's hi, not 0.
-    loc2d = np.zeros((TM, LANES), dtype=np.uint16)
+    # Element placement: rank k within its segment → quad k//P, plane k%P.
+    seg_estarts = np.zeros(nseg + 1, dtype=np.int64)
+    np.cumsum(seg_sizes, out=seg_estarts[1:])
+    k = np.arange(nnz, dtype=np.int64) - seg_estarts[seg_id]
+    elem_quad = qstarts[seg_id] + k // P
+    plane = k % P
+    erow = quad_row[elem_quad]
+    epos = qpos[elem_quad]
+
+    v3d = np.zeros((TM, P, LANES), dtype=dtype)
+    lo3d = np.zeros((TM, P, LANES), dtype=np.uint8)
+    v3d[erow, plane, epos] = v
+    lo3d[erow, plane, epos] = (c & (LANES - 1)).astype(np.uint8)
+    # hi is uniform per sublane row (the two-step gather's exactness
+    # condition) — pad slots carry the row's hi too.
+    hi2d = np.zeros((TM, LANES), dtype=np.uint8)
     row_hi = subrow_stp - sub_base[slot // SUBLANES].astype(np.int64)
-    loc2d[slot, :] = (row_hi * LANES).astype(np.uint16)[:, None]
-    hi = stp - sub_base[final_row // SUBLANES].astype(np.int64)
-    assert hi.size == 0 or (0 <= hi.min() and hi.max() < SUBLANES)
-    v2d[final_row, pos] = v
-    loc2d[final_row, pos] = (hi * LANES + (c & (LANES - 1))).astype(np.uint16)
+    assert row_hi.size == 0 or (0 <= row_hi.min()
+                                and row_hi.max() < SUBLANES)
+    hi2d[slot, :] = row_hi.astype(np.uint8)[:, None]
 
-    # Per-(sublane row, block-local row id) segment bounds.  Elements are
-    # already grouped: within a sublane row, lid runs are contiguous with
-    # ascending positions.
-    lid = (r & (LANES - 1)).astype(np.int64)
-    gkey = final_row * LANES + lid
+    # Filled gidx: per (sublane row, lid) the last quad position, then a
+    # running max along lanes (absent lids inherit the previous segment's
+    # end; the kernel's lane shift turns that into the pidx bound).
+    lid = (r[seg_head] & (LANES - 1)).astype(np.int64)
+    quad_lid = lid[quad_seg]
+    gkey = quad_row * LANES + quad_lid
     _, g_sizes, g_head = _run_heads(gkey)
-    g_first_pos = pos[g_head]
-    g_last_pos = pos[np.flatnonzero(g_head) + g_sizes - 1]
-    gidx = np.zeros((TM, LANES), dtype=np.uint8)
-    pidx = np.zeros((TM, LANES), dtype=np.uint8)
-    hrow = final_row[g_head]
-    hlid = lid[g_head]
-    gidx[hrow, hlid] = g_last_pos
-    pidx[hrow, hlid] = g_first_pos - 1
+    g_last_pos = qpos[np.flatnonzero(g_head) + g_sizes - 1]
+    gidx_raw = np.zeros((TM, LANES), dtype=np.uint8)
+    gidx_raw[quad_row[g_head], quad_lid[g_head]] = g_last_pos
+    gidx = np.maximum.accumulate(gidx_raw, axis=1)
 
     plan = SegPlan(
-        vals=v2d, loc=loc2d, gidx=gidx, pidx=pidx,
+        vals=v3d, lo=lo3d, hi=hi2d, gidx=gidx,
         sub_block=sub_block, sub_base=sub_base,
-        nrows=nrows, ncols=ncols, nnz=nnz, chunk=chunk,
+        nrows=nrows, ncols=ncols, nnz=nnz, chunk=chunk, pack=P,
     )
-    _cache.plan_store("seg", rows, cols, vals, nrows, ncols, chunk, plan)
+    _cache.plan_store("seg2", rows, cols, vals, nrows, ncols,
+                      (chunk, pack or 0), plan)
     return plan
 
 

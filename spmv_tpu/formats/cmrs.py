@@ -52,6 +52,7 @@ class CMRSMatrix:
         *,
         height: int = DEFAULT_HEIGHT,
         chunk: int = DEFAULT_CHUNK,
+        pack: int | None = None,
     ) -> "CMRSMatrix":
         if LANES % height:
             raise ValueError(f"height must divide {LANES}")
@@ -69,7 +70,7 @@ class CMRSMatrix:
         ris = (rows_s % height).astype(np.int8)
         return cls.from_cmrs(
             nrows, ncols, strip_ptr, ris, cols_s, vals_s,
-            height=height, chunk=chunk,
+            height=height, chunk=chunk, pack=pack,
         )
 
     @classmethod
@@ -84,6 +85,7 @@ class CMRSMatrix:
         *,
         height: int = DEFAULT_HEIGHT,
         chunk: int = DEFAULT_CHUNK,
+        pack: int | None = None,
     ) -> "CMRSMatrix":
         """Build from the format's own arrays (the honest CMRS ingest path:
         reconstructs global rows = strip·height + ris and re-sorts within
@@ -97,7 +99,7 @@ class CMRSMatrix:
         order = np.lexsort((np.asarray(cols), rows))  # CSR order within strips
         plan = build_seg_plan(
             rows[order], np.asarray(cols)[order], np.asarray(vals)[order],
-            nrows, ncols, chunk=chunk,
+            nrows, ncols, chunk=chunk, pack=pack,
         )
         return cls(
             nrows=nrows, ncols=ncols, height=height,

@@ -46,6 +46,7 @@ class COOMatrix:
         vals: np.ndarray,
         *,
         chunk: int = DEFAULT_CHUNK,
+        pack: int | None = None,
     ) -> "COOMatrix":
         rows = np.asarray(rows)
         cols = np.asarray(cols)
@@ -53,7 +54,8 @@ class COOMatrix:
         # Deterministic: stable sort by (row, col).
         order = np.lexsort((cols, rows))
         plan = build_seg_plan(
-            rows[order], cols[order], vals[order], nrows, ncols, chunk=chunk
+            rows[order], cols[order], vals[order], nrows, ncols, chunk=chunk,
+            pack=pack,
         )
         return cls(
             nrows=nrows,

@@ -44,6 +44,7 @@ class CSRMatrix:
         vals: np.ndarray,
         *,
         chunk: int = DEFAULT_CHUNK,
+        pack: int | None = None,
     ) -> "CSRMatrix":
         rows = np.asarray(rows, dtype=np.int64)
         order = np.lexsort((cols, rows))
@@ -51,7 +52,8 @@ class CSRMatrix:
         ptr = np.zeros(nrows + 1, dtype=np.int64)
         np.add.at(ptr, rows_s + 1, 1)
         np.cumsum(ptr, out=ptr)
-        return cls.from_csr(nrows, ncols, ptr, cols_s, vals_s, chunk=chunk)
+        return cls.from_csr(nrows, ncols, ptr, cols_s, vals_s, chunk=chunk,
+                            pack=pack)
 
     @classmethod
     def from_csr(
@@ -63,11 +65,13 @@ class CSRMatrix:
         vals: np.ndarray,
         *,
         chunk: int = DEFAULT_CHUNK,
+        pack: int | None = None,
     ) -> "CSRMatrix":
         ptr = np.asarray(ptr, dtype=np.int64)
         lengths = np.diff(ptr)
         rows = np.repeat(np.arange(nrows, dtype=np.int64), lengths)
-        plan = build_seg_plan(rows, cols, vals, nrows, ncols, chunk=chunk)
+        plan = build_seg_plan(rows, cols, vals, nrows, ncols, chunk=chunk,
+                              pack=pack)
         return cls(
             nrows=nrows, ncols=ncols, ptr=ptr,
             cols=np.asarray(cols, dtype=np.int32), vals=np.asarray(vals),

@@ -94,6 +94,7 @@ class HybMatrix:
         vals: np.ndarray,
         *,
         chunk: int = DEFAULT_CHUNK,
+        pack: int | None = None,
     ) -> "HybMatrix":
         rows = np.asarray(rows, dtype=np.int64)
         cols = np.asarray(cols, dtype=np.int64)
@@ -132,7 +133,7 @@ class HybMatrix:
         spill_plan = None
         if (~keep).any():
             spill_plan = build_seg_plan(r[~keep], c[~keep], v[~keep],
-                                        nrows, ncols, chunk=chunk)
+                                        nrows, ncols, chunk=chunk, pack=pack)
             dev_spill = DevSeg.from_plan(spill_plan)
         return cls(
             nrows=nrows, ncols=ncols, nnz=nnz,

@@ -60,6 +60,7 @@ class SellMatrix:
     slice_widths: np.ndarray  # per-slice padded K (slices of C=128 rows)
     dev: DevPanel = field(repr=False)
     plan: object = field(repr=False, default=None)  # PanelPlan (host arrays)
+    sorted_rows: bool = False  # did the adaptive σ-sort actually apply?
     # permutation metadata for the y epilogue
     _perm_whi: object = field(repr=False, default=None)  # jnp (NB,)
     _perm_idx: object = field(repr=False, default=None)  # jnp (NB,128)
@@ -108,10 +109,12 @@ class SellMatrix:
         if _panel_slots(invperm[rows], cols, nrows_pad, ncols) \
                 < _panel_slots(rows, cols, nrows_pad, ncols):
             rows_sorted = invperm[rows]  # relabel rows into sorted space
+            sorted_ = True
         else:
             perm = np.arange(nrows_pad, dtype=np.int64)
             invperm = perm
             rows_sorted = rows
+            sorted_ = False
 
         # Per-slice (128-row block) padded width from sorted lengths —
         # reported as the format's slice metadata; the device plan refines
@@ -136,13 +139,18 @@ class SellMatrix:
         return cls(
             nrows=nrows, ncols=ncols, nnz=rows.size, sigma=sigma,
             slice_widths=slice_widths, dev=DevPanel.from_plan(plan),
-            plan=plan,
+            plan=plan, sorted_rows=sorted_,
             _perm_whi=jnp.asarray(whi), _perm_idx=jnp.asarray(idx),
         )
 
     def padded_matvec(self, x2d):
         d = self.dev
         y_sorted = panel_spmv(d, x2d)
+        if not self.sorted_rows:
+            # Adaptive σ kept the natural order — the permutation is the
+            # identity, so the unpermute epilogue would be a pure copy pass
+            # (it cost 16% of SpMV time on the band bench).  Skip it.
+            return y_sorted
         nb = d.out_blocks
         y2 = y_sorted.reshape(nb, LANES)
         if nb < 8:  # epilogue windows always slice 8 table rows

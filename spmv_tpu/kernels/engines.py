@@ -25,13 +25,19 @@ measured ~4-7 cycles/op; chunk-wide ops pipeline properly):
 * Engine 2 reduction: inclusive lane prefix sums as one chunk-wide matmul
   against upper-triangular ones on the MXU (``jnp.cumsum`` does not lower
   in Mosaic and a VPU scan costs ~40 vector ops).  The triangular matmul
-  dominates the engine's cycle budget, so it runs as a **2-pass split-f32
-  product**: the 0/1 stationary operand is exact in bf16, so only the
-  streaming operand needs a hi+lo bf16 decomposition — ~2⁻¹⁸-relative
-  product precision at ⅓ the MXU passes of ``Precision.HIGHEST``
-  (measured 31.7 → 51.5 Gnnz/s).  Per-row segment sums are
-  ``cs[gidx] − cs[pidx]`` with conversion-precomputed uint8 bounds
-  (lane 0 of every sublane row is a guaranteed zero pad, so no masking).
+  dominates the engine's cycle budget, so (a) it runs as a **2-pass
+  split-f32 product** — the 0/1 stationary operand is exact in bf16, so
+  only the streaming operand needs a hi+lo bf16 decomposition, ~2⁻¹⁸-
+  relative products at ⅓ of ``Precision.HIGHEST``'s passes (measured
+  31.7 → 51.5 Gnnz/s) — and (b) the stream is **P-packed**: each lane
+  slot carries P ∈ {1,2,4} elements in separate value/column planes that
+  the VPU combines (``p = Σ v_p·x[lo_p]``) *before* the prefix, amortizing
+  the MXU passes and the segment-bound bytes over P elements (measured
+  42 → 113 Gelem/s at P=4, scripts/probe_pack.py).  Per-row segment sums
+  are ``cs[gidx] − cs[shift(gidx)]``: ``gidx`` arrives *filled* (running
+  max over lids), so the old pidx stream is a one-lane shift — one fewer
+  index stream (lane 0 of every sublane row is a guaranteed zero pad, so
+  no masking).
 * Per-subtile 8-row sums via a block-diagonal 0/1 matmul (MXU) instead of
   a 3-D reshape-reduce, then one dynamic 128-lane accumulate into the
   whole-y-in-VMEM output per subtile.
@@ -172,12 +178,13 @@ def panel_spmv(dev, x2d):
 # ---------------------------------------------------------------- engine 2
 
 
-def _seg_kernel(chunk: int, kv: int, sub_block_ref, sub_base_ref, *refs):
-    kl, kg = max(kv // 2, 1), max(kv // 4, 1)
-    vals_refs = refs[:kv]
-    loc_refs = refs[kv : kv + kl]
-    gidx_refs = refs[kv + kl : kv + kl + kg]
-    pidx_refs = refs[kv + kl + kg : kv + kl + 2 * kg]
+def _seg_kernel(chunk: int, ns: int, kva: int, pack: int,
+                sub_block_ref, sub_base_ref, *refs):
+    nv = pack * kva
+    vals_refs = refs[:nv]  # plane-major: plane pp is [pp*kva, (pp+1)*kva)
+    lo_refs = refs[nv : nv + pack]
+    hi_refs = refs[nv + pack : nv + pack + 1]
+    gidx_refs = refs[nv + pack + 1 : nv + pack + 2]
     x_ref, o_ref = refs[-2], refs[-1]
     step = pl.program_id(0)
 
@@ -188,14 +195,31 @@ def _seg_kernel(chunk: int, kv: int, sub_block_ref, sub_base_ref, *refs):
     U = _triu_ones().astype(jnp.bfloat16)
     R = _rowsum_matrix(chunk).astype(jnp.bfloat16)
     nsub = chunk // SUBLANES
-    for k in range(kv):
-        g0 = step * (kv * nsub) + k * nsub
-        loc_c = _chunk_slice(loc_refs, k, kv, chunk).astype(jnp.int32)
-        p = _gathered_products(vals_refs[k][:], loc_c, x_ref, sub_base_ref,
-                               g0, chunk)
+    for k in range(ns):
+        g0 = step * (ns * nsub) + k * nsub
+        # One (8,128) x window + depth-8 sublane gather per subtile (hi is
+        # uniform per sublane row), shared by all P planes.
+        hi_c = _chunk_slice(hi_refs, k, ns, chunk).astype(jnp.int32)
+        ts = []
+        for s in range(nsub):
+            w = x_ref[pl.ds(sub_base_ref[g0 + s], SUBLANES), :]
+            ts.append(jnp.take_along_axis(
+                w, hi_c[s * SUBLANES:(s + 1) * SUBLANES, :], axis=0))
+        T = jnp.concatenate(ts, axis=0)  # (chunk,128) per-row x windows
+        # Pairwise pre-reduction: P gathered products combine on the VPU
+        # before the MXU prefix — prefix cycles and index bytes drop P×.
+        p = jnp.zeros((chunk, LANES), jnp.float32)
+        for pp in range(pack):
+            lo_c = _chunk_slice((lo_refs[pp],), k, ns, chunk).astype(jnp.int32)
+            v_c = _chunk_slice(vals_refs[pp * kva:(pp + 1) * kva], k, ns,
+                               chunk)
+            p = p + v_c * jnp.take_along_axis(T, lo_c, axis=1)
         cs = _split_dot(p, U)  # inclusive lane prefix on the MXU
-        gi = _chunk_slice(gidx_refs, k, kv, chunk).astype(jnp.int32)
-        pi = _chunk_slice(pidx_refs, k, kv, chunk).astype(jnp.int32)
+        gi = _chunk_slice(gidx_refs, k, ns, chunk).astype(jnp.int32)
+        # pidx = previous lid's filled gidx — a one-lane shift (gidx is a
+        # running max, so absent lids vanish as cs[g]-cs[g]).
+        pi = jnp.concatenate(
+            [jnp.zeros((chunk, 1), jnp.int32), gi[:, : LANES - 1]], axis=1)
         pieces = (jnp.take_along_axis(cs, gi, axis=1)
                   - jnp.take_along_axis(cs, pi, axis=1))
         # R is (nsub, chunk): split the streaming operand (pieces).
@@ -208,33 +232,36 @@ def _seg_kernel(chunk: int, kv: int, sub_block_ref, sub_base_ref, *refs):
 
 @jax.jit
 def segmented_spmv(dev, x2d):
-    """Engine 2: MXU-prefix segmented-reduction SpMV over nnz tiles."""
-    chunk, kv = dev.chunk, dev.kv
-    TM = dev.vals[0].shape[0] * kv
-    kernel = functools.partial(_seg_kernel, chunk, kv)
-    kl, kg = max(kv // 2, 1), max(kv // 4, 1)
+    """Engine 2: P-packed MXU-prefix segmented-reduction SpMV.
+
+    Replaces the reference's CAS-atomic scatter (``Coo.cl:4-22``), scalar
+    row loop (``Csr.cl:5-16``) and strip reduction (``Cmrs.cl:5-44``) with
+    one deterministic engine; the P-packing (measured 42 → 113 Gelem/s at
+    P=4, scripts/probe_pack.py) amortizes the triangular-prefix matmul
+    over P elements per lane slot."""
+    chunk, ns, kva, pack = dev.chunk, dev.ns, dev.kva, dev.pack
+    TM = dev.vals[0].shape[0] * kva
+    kernel = functools.partial(_seg_kernel, chunk, ns, kva, pack)
     in_specs = (
-        [pl.BlockSpec((chunk, LANES), lambda i, *_: (i, 0),
-                      memory_space=pltpu.VMEM)] * kv
-        + [pl.BlockSpec((chunk * kv // kl, LANES), lambda i, *_: (i, 0),
-                        memory_space=pltpu.VMEM)] * kl
-        + [pl.BlockSpec((chunk * kv // kg, LANES), lambda i, *_: (i, 0),
-                        memory_space=pltpu.VMEM)] * (2 * kg)
+        [pl.BlockSpec((chunk * ns // kva, LANES), lambda i, *_: (i, 0),
+                      memory_space=pltpu.VMEM)] * (pack * kva)
+        + [pl.BlockSpec((chunk * ns, LANES), lambda i, *_: (i, 0),
+                        memory_space=pltpu.VMEM)] * (pack + 2)
         + [pl.BlockSpec(memory_space=pltpu.VMEM)]
     )
     return pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
-            grid=(TM // (chunk * kv),),
+            grid=(TM // (chunk * ns),),
             in_specs=in_specs,
             out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         ),
         out_shape=jax.ShapeDtypeStruct((1, dev.out_blocks * LANES),
                                        jnp.float32),
         interpret=_interpret(),
-    )(dev.sub_block, dev.sub_base, *dev.vals, *dev.loc, *dev.gidx,
-      *dev.pidx, x2d)
+    )(dev.sub_block, dev.sub_base, *dev.vals, *dev.lo, dev.hi, dev.gidx,
+      x2d)
 
 
 # ------------------------------------------------------- permute epilogue

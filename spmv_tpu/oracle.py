@@ -147,17 +147,22 @@ def seg_engine_scale(plan, x: np.ndarray, row_abs: np.ndarray) -> np.ndarray:
     """
     absx = np.abs(np.asarray(x, dtype=np.float64)).reshape(-1)
     tm = plan.vals.shape[0]
-    loc = plan.loc.astype(np.int64)
     base = plan.sub_base[np.arange(tm) // 8].astype(np.int64)
-    col = (base[:, None] + (loc >> 7)) * 128 + (loc & 127)
-    # pad slots carry v == 0; their col may land in the zero-padded x-table
-    # tail — clamp so the |x| lookup stays in bounds.
-    col = np.minimum(col, absx.size - 1)
-    w_mag = (np.abs(plan.vals.astype(np.float64)) * absx[col]).sum(axis=1)
+    hi = plan.hi.astype(np.int64)
+    w_mag = np.zeros(tm, dtype=np.float64)
+    for pp in range(plan.pack):
+        col = (base[:, None] + hi) * 128 + plan.lo[:, pp, :].astype(np.int64)
+        # pad slots carry v == 0; their col may land in the zero-padded
+        # x-table tail — clamp so the |x| lookup stays in bounds.
+        col = np.minimum(col, absx.size - 1)
+        w_mag += (np.abs(plan.vals[:, pp, :].astype(np.float64))
+                  * absx[col]).sum(axis=1)
 
     blocks = plan.sub_block[np.arange(tm) // 8].astype(np.int64)
-    present = plan.gidx != plan.pidx  # (TM,128): lids with a segment here
-    srow, lid = np.nonzero(present)
+    # present lids: the filled gidx strictly increases at each segment head
+    gprev = np.concatenate(
+        [np.zeros((tm, 1), plan.gidx.dtype), plan.gidx[:, :-1]], axis=1)
+    srow, lid = np.nonzero(plan.gidx > gprev)
     rowid = blocks[srow] * 128 + lid
     win_scale = np.zeros(plan.nrows, dtype=np.float64)
     valid = rowid < plan.nrows

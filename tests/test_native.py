@@ -22,7 +22,7 @@ def test_grouping_fallback_parity(monkeypatch):
                         lambda *a, **k: None)  # force the Python loop
     p_py, q_py = _plans(r, c, v, info.nrows, info.ncols)
 
-    for name in ("vals", "loc", "gidx", "pidx", "sub_block", "sub_base"):
+    for name in ("vals", "lo", "hi", "gidx", "sub_block", "sub_base"):
         np.testing.assert_array_equal(getattr(p_nat, name),
                                       getattr(p_py, name), err_msg=name)
     for name in ("vals", "loc", "sub_block", "sub_base"):
