@@ -7,10 +7,10 @@ in-engine).  Each plan stream is therefore interleaved into several
 separate device arrays; one grid step fetches one **superchunk**
 (``ns·chunk`` sublane rows) over the concurrent DMAs.
 
-Panel streams (engine 1): ``vals`` f32 split ``kv`` ways, ``loc`` u16
-split ``kv/2`` ways.  Segmented streams (engine 2, P-packed — see
-``formats.base.SegPlan``): per value plane ``kva`` arrays (plane-major
-tuple), one u8 array per ``lo`` plane, single u8 ``hi``/``gidx`` arrays.
+Both engines consume P-packed streams (see ``formats.base``): per value
+plane ``kva`` f32 arrays (plane-major tuple), one u8 array per ``lo``
+plane, a single shared u8 ``hi`` array, plus u8 ``gidx`` for the
+segmented engine.
 
 The containers are jax pytrees: the split arrays are leaves, the geometry
 is static aux data, so ``jit(spmv)(dev, x2d)`` specializes per geometry.
@@ -83,28 +83,12 @@ def _pad_rows(x: np.ndarray, rows: int) -> np.ndarray:
     return np.pad(x, [(0, rows - x.shape[0])] + [(0, 0)] * (x.ndim - 1))
 
 
-def split_panel_arrays(arrays: dict, chunk: int, ns: int) -> dict:
-    """Pad a panel plan's np arrays to a whole number of superchunks and
-    split each stream into its interleaved device arrays.  Returns a flat
-    dict name->np array (``vals0..``, ``loc0..``, ``sub_block``,
-    ``sub_base``)."""
-    sc = chunk * ns
-    tm = round_up(max(arrays["vals"].shape[0], sc), sc)
-    out = {}
-    for name, k in (("vals", ns), ("loc", max(ns // 2, 1))):
-        padded = _pad_rows(arrays[name], tm)
-        for j, part in enumerate(split_stream(padded, sc, k)):
-            out[f"{name}{j}"] = part
-    nsub = tm // SUBLANES
-    out["sub_block"] = _pad_rows(arrays["sub_block"], nsub)
-    out["sub_base"] = _pad_rows(arrays["sub_base"], nsub)
-    return out
-
-
-def split_seg_arrays(arrays: dict, chunk: int, ns: int, pack: int) -> dict:
-    """Seg-plan splitter: ``vals``/``lo`` are (TM, P, 128) plane stacks;
+def split_packed_arrays(arrays: dict, chunk: int, ns: int, pack: int,
+                        seg: bool) -> dict:
+    """Packed-plan splitter: ``vals``/``lo`` are (TM, P, 128) plane stacks;
     plane pp of vals splits ``kva`` ways into ``vals{pp*kva+j}``, plane pp
-    of lo becomes ``lo{pp}``, ``hi``/``gidx`` stay whole."""
+    of lo becomes ``lo{pp}``, ``hi`` (and ``gidx`` for seg plans) stay
+    whole."""
     sc = chunk * ns
     tm = round_up(max(arrays["vals"].shape[0], sc), sc)
     kva = seg_kva(pack, ns)
@@ -117,7 +101,8 @@ def split_seg_arrays(arrays: dict, chunk: int, ns: int, pack: int) -> dict:
             out[f"vals{pp * kva + j}"] = part
         out[f"lo{pp}"] = np.ascontiguousarray(lo[:, pp, :])
     out["hi"] = _pad_rows(arrays["hi"], tm)
-    out["gidx"] = _pad_rows(arrays["gidx"], tm)
+    if seg:
+        out["gidx"] = _pad_rows(arrays["gidx"], tm)
     nsub = tm // SUBLANES
     out["sub_block"] = _pad_rows(arrays["sub_block"], nsub)
     out["sub_base"] = _pad_rows(arrays["sub_base"], nsub)
@@ -126,12 +111,14 @@ def split_seg_arrays(arrays: dict, chunk: int, ns: int, pack: int) -> dict:
 
 @dataclass(frozen=True)
 class DevPanel:
-    vals: tuple  # NS × (TM/NS, 128) f32
-    loc: tuple  # NS/2 × (TM·2/NS, 128) u16
+    vals: tuple  # P·kva × (TM/kva, 128) f32, plane-major
+    lo: tuple  # P × (TM, 128) u8
+    hi: object  # (TM, 128) u8
     sub_block: object  # (TM/8,) i32
     sub_base: object  # (TM/8,) i32
     chunk: int
-    kv: int  # sub-chunks per superchunk step (= number of vals arrays)
+    ns: int  # sub-chunks per superchunk step
+    pack: int  # P — elements per quad slot
     nrows: int
     ncols: int
     nnz: int
@@ -142,16 +129,24 @@ class DevPanel:
 
         _check_fits(p.nrows, p.ncols)
         chunk, ns = pick_geometry(p.vals.shape[0])
-        d = split_panel_arrays(
-            {"vals": p.vals, "loc": p.loc,
-             "sub_block": p.sub_block, "sub_base": p.sub_base}, chunk, ns)
-        kl = max(ns // 2, 1)
+        d = split_packed_arrays(
+            {"vals": p.vals, "lo": p.lo, "hi": p.hi,
+             "sub_block": p.sub_block, "sub_base": p.sub_base},
+            chunk, ns, p.pack, seg=False)
+        kva = seg_kva(p.pack, ns)
         return cls(
-            vals=tuple(jnp.asarray(d[f"vals{j}"]) for j in range(ns)),
-            loc=tuple(jnp.asarray(d[f"loc{j}"]) for j in range(kl)),
+            vals=tuple(jnp.asarray(d[f"vals{j}"])
+                       for j in range(p.pack * kva)),
+            lo=tuple(jnp.asarray(d[f"lo{j}"]) for j in range(p.pack)),
+            hi=jnp.asarray(d["hi"]),
             sub_block=jnp.asarray(d["sub_block"]),
             sub_base=jnp.asarray(d["sub_base"]),
-            chunk=chunk, kv=ns, nrows=p.nrows, ncols=p.ncols, nnz=p.nnz)
+            chunk=chunk, ns=ns, pack=p.pack,
+            nrows=p.nrows, ncols=p.ncols, nnz=p.nnz)
+
+    @property
+    def kva(self) -> int:
+        return len(self.vals) // self.pack
 
     @property
     def out_blocks(self) -> int:
@@ -159,12 +154,12 @@ class DevPanel:
 
     @property
     def element_slots(self) -> int:
-        return self.vals[0].shape[0] * self.kv * LANES
+        return self.vals[0].shape[0] * self.kva * LANES * self.pack
 
     @property
     def stream_bytes(self) -> int:
-        return (sum(int(np.prod(a.shape)) * a.dtype.itemsize
-                    for a in self.vals + self.loc))
+        arrs = list(self.vals) + list(self.lo) + [self.hi]
+        return sum(int(np.prod(a.shape)) * a.dtype.itemsize for a in arrs)
 
 
 @dataclass(frozen=True)
@@ -188,10 +183,10 @@ class DevSeg:
 
         _check_fits(p.nrows, p.ncols)
         chunk, ns = pick_geometry(p.vals.shape[0])
-        d = split_seg_arrays(
+        d = split_packed_arrays(
             {"vals": p.vals, "lo": p.lo, "hi": p.hi, "gidx": p.gidx,
              "sub_block": p.sub_block, "sub_base": p.sub_base},
-            chunk, ns, p.pack)
+            chunk, ns, p.pack, seg=True)
         kva = seg_kva(p.pack, ns)
         return cls(
             vals=tuple(jnp.asarray(d[f"vals{j}"])
@@ -237,7 +232,7 @@ def _register(cls, statics):
     jax.tree_util.register_pytree_node(cls, flatten, unflatten)
 
 
-_register(DevPanel, ("chunk", "kv", "nrows", "ncols", "nnz"))
+_register(DevPanel, ("chunk", "ns", "pack", "nrows", "ncols", "nnz"))
 _register(DevSeg, ("chunk", "ns", "pack", "nrows", "ncols", "nnz"))
 
 

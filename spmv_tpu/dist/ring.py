@@ -23,7 +23,8 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
-from spmv_tpu.dist.sharded import _ShardStatics, _make_dev, _unify_plans
+from spmv_tpu.dist.sharded import (_ShardStatics, _make_dev, _unify_plans,
+                                    put_sharded)
 from spmv_tpu.formats.base import LANES, cdiv, round_up
 from spmv_tpu.kernels.engines import panel_spmv, segmented_spmv
 
@@ -50,11 +51,14 @@ class RingShardedSpmv:
         cols = np.asarray(cols, dtype=np.int64)
         vals = np.asarray(vals)
 
-        from spmv_tpu.formats.base import seg_pack_for
+        from spmv_tpu.formats.base import panel_pack_for, seg_pack_for
 
         if format in ("csr", "coo", "cmrs") and "pack" not in fmt_kwargs:
             fmt_kwargs = dict(fmt_kwargs,
                               pack=seg_pack_for(rows, cols, nrows, ncols))
+        elif format == "ell" and "pack" not in fmt_kwargs:
+            fmt_kwargs = dict(fmt_kwargs,
+                              pack=panel_pack_for(rows, cols, nrows, ncols))
         rps = round_up(max(cdiv(nrows, D), LANES), LANES)
         cps = round_up(max(cdiv(ncols, D), LANES), LANES)
         # D×D sub-plans: (row slab d) × (column block j), unified together
@@ -79,7 +83,7 @@ class RingShardedSpmv:
         self.rps, self.cps, self.D = rps, cps, D
         sharded = NamedSharding(mesh, P(self.axis))
         self.arrays = {
-            k: jax.device_put(jnp.asarray(v), sharded) for k, v in arrays.items()
+            k: put_sharded(v, sharded) for k, v in arrays.items()
         }
         self.S_local = max(cps // LANES, 8)
         self._fn = self._build()
@@ -133,7 +137,7 @@ class RingShardedSpmv:
         if pad:
             xb = jnp.pad(xb, ((0, 0), (0, pad)))
         xb = xb.reshape(D, self.S_local, LANES)
-        xb = jax.device_put(xb, NamedSharding(self.mesh, P(self.axis)))
+        xb = put_sharded(xb, NamedSharding(self.mesh, P(self.axis)))
         y = self._fn(xb, *self.arrays.values())
         return y.reshape(-1)[: self.st.nrows]
 

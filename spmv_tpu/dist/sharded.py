@@ -37,11 +37,16 @@ from spmv_tpu.device import (
     DevSeg,
     pick_geometry,
     seg_kva,
-    split_panel_arrays,
-    split_seg_arrays,
+    split_packed_arrays,
     x_table_rows,
 )
-from spmv_tpu.formats.base import LANES, cdiv, round_up, seg_pack_for
+from spmv_tpu.formats.base import (
+    LANES,
+    cdiv,
+    panel_pack_for,
+    round_up,
+    seg_pack_for,
+)
 from spmv_tpu.kernels.engines import (
     inverse_permute_blocks,
     panel_spmv,
@@ -54,6 +59,19 @@ _PANEL_FORMATS = {"ell", "sell", "sell_c_sigma"}
 # BSR's plan-less block-dense container cannot ride the stream unifier; it
 # stays single-chip (use spmm there).  HYB row-shards as a two-part plan.
 _UNSUPPORTED = {"bsr"}
+
+
+def put_sharded(v, sharding):
+    """Place a host array as a (possibly multi-process) global jax.Array.
+
+    ``jax.device_put`` cannot target non-addressable devices; with the
+    callback form each process materializes only its own shards, so the
+    same code path serves single-process meshes and true multi-host runs
+    brought up via ``mesh.init_distributed`` (every process holds the same
+    deterministic host copy, so slicing by index is consistent)."""
+    v = jnp.asarray(v)
+    return jax.make_array_from_callback(v.shape, sharding,
+                                        lambda idx: v[idx])
 
 
 def _pad_rows(arr: np.ndarray, target: int) -> np.ndarray:
@@ -70,12 +88,10 @@ def _unify_plans(plans):
     pack P — the Spmv constructors choose it globally via ``seg_pack_for``
     and pass it to every shard build."""
     is_seg = hasattr(plans[0], "gidx")
-    pack = 1
-    if is_seg:
-        packs = {p.pack for p in plans}
-        assert len(packs) == 1, f"shards disagree on pack: {packs}"
-        pack = plans[0].pack
-    names = ["vals", "lo", "hi", "gidx"] if is_seg else ["vals", "loc"]
+    packs = {p.pack for p in plans}
+    assert len(packs) == 1, f"shards disagree on pack: {packs}"
+    pack = plans[0].pack
+    names = ["vals", "lo", "hi"] + (["gidx"] if is_seg else [])
     tm = max(p.vals.shape[0] for p in plans)
     chunk, ns = pick_geometry(tm)
     stacked: dict[str, list] = {}
@@ -83,8 +99,7 @@ def _unify_plans(plans):
         arrays = {n: _pad_rows(getattr(p, n), tm) for n in names}
         arrays["sub_block"] = p.sub_block
         arrays["sub_base"] = p.sub_base
-        split = (split_seg_arrays(arrays, chunk, ns, pack) if is_seg
-                 else split_panel_arrays(arrays, chunk, ns))
+        split = split_packed_arrays(arrays, chunk, ns, pack, seg=is_seg)
         for k, v in split.items():
             stacked.setdefault(k, []).append(v)
     return ({k: np.stack(v) for k, v in stacked.items()}, chunk, ns, is_seg,
@@ -96,19 +111,17 @@ def _make_dev(arrays: dict, statics: "_ShardStatics"):
     def tup(name, k):
         return tuple(arrays[f"{name}{j}"] for j in range(k))
 
-    ns = statics.ns
-    common = dict(sub_block=arrays["sub_block"], sub_base=arrays["sub_base"],
-                  chunk=statics.chunk,
+    ns, pack = statics.ns, statics.pack
+    kva = seg_kva(pack, ns)
+    common = dict(vals=tup("vals", pack * kva), lo=tup("lo", pack),
+                  hi=arrays["hi"],
+                  sub_block=arrays["sub_block"], sub_base=arrays["sub_base"],
+                  chunk=statics.chunk, ns=ns, pack=pack,
                   nrows=statics.rows_per_shard if statics.is_row else statics.nrows,
                   ncols=statics.ncols, nnz=0)
     if statics.is_seg:
-        pack = statics.pack
-        kva = seg_kva(pack, ns)
-        return DevSeg(vals=tup("vals", pack * kva), lo=tup("lo", pack),
-                      hi=arrays["hi"], gidx=arrays["gidx"], ns=ns, pack=pack,
-                      **common)
-    return DevPanel(vals=tup("vals", ns), loc=tup("loc", max(ns // 2, 1)),
-                    kv=ns, **common)
+        return DevSeg(gidx=arrays["gidx"], **common)
+    return DevPanel(**common)
 
 
 @dataclass
@@ -151,10 +164,18 @@ class RowShardedSpmv:
         vals = np.asarray(vals)
 
         # Every shard must build with the same packed-engine P — choose it
-        # once from the full matrix's segment-size histogram.
-        if format in ("csr", "coo", "cmrs", "hyb") and "pack" not in fmt_kwargs:
+        # once from the full matrix's segment/width histograms.
+        if format in ("csr", "coo", "cmrs") and "pack" not in fmt_kwargs:
             fmt_kwargs = dict(fmt_kwargs,
                               pack=seg_pack_for(rows, cols, nrows, ncols))
+        elif format in _PANEL_FORMATS and "pack" not in fmt_kwargs:
+            fmt_kwargs = dict(fmt_kwargs,
+                              pack=panel_pack_for(rows, cols, nrows, ncols))
+        elif format == "hyb":
+            fmt_kwargs = dict(fmt_kwargs)
+            fmt_kwargs.setdefault("pack", seg_pack_for(rows, cols, nrows, ncols))
+            fmt_kwargs.setdefault("panel_pack",
+                                  panel_pack_for(rows, cols, nrows, ncols))
 
         rps = round_up(max(cdiv(nrows, D), LANES), LANES)
         shards = []
@@ -198,7 +219,7 @@ class RowShardedSpmv:
         self.gather_x = gather_x
         sharded = NamedSharding(mesh, P(self.axis))
         self.arrays = {
-            k: jax.device_put(jnp.asarray(v), sharded) for k, v in arrays.items()
+            k: put_sharded(v, sharded) for k, v in arrays.items()
         }
         # x table rows, padded so the shard axis divides evenly when sharded.
         self.S = x_table_rows(ncols)
@@ -252,7 +273,7 @@ class RowShardedSpmv:
         xf = jnp.pad(xf, (0, self.S * LANES - xf.shape[0]))
         x2d = xf.reshape(self.S, LANES)
         if self.gather_x:
-            x2d = jax.device_put(
+            x2d = put_sharded(
                 x2d, NamedSharding(self.mesh, P(self.axis, None)))
         y = self._fn(x2d, *self.arrays.values())
         return y.reshape(-1)[: self.st.nrows]
@@ -286,6 +307,9 @@ class ColShardedSpmv:
         if format in ("csr", "coo", "cmrs") and "pack" not in fmt_kwargs:
             fmt_kwargs = dict(fmt_kwargs,
                               pack=seg_pack_for(rows, cols, nrows, ncols))
+        elif format == "ell" and "pack" not in fmt_kwargs:
+            fmt_kwargs = dict(fmt_kwargs,
+                              pack=panel_pack_for(rows, cols, nrows, ncols))
         cps = round_up(max(cdiv(ncols, D), LANES), LANES)
         shards = []
         for d in range(D):
@@ -304,7 +328,7 @@ class ColShardedSpmv:
         )
         sharded = NamedSharding(mesh, P(self.axis))
         self.arrays = {
-            k: jax.device_put(jnp.asarray(v), sharded) for k, v in arrays.items()
+            k: put_sharded(v, sharded) for k, v in arrays.items()
         }
         self.S_local = x_table_rows(cps)
         self.cps = cps
@@ -342,7 +366,7 @@ class ColShardedSpmv:
                 f"x has {xf.shape[0]} entries, matrix has {self.st.ncols} columns")
         D = self.st.n_shards
         xf = jnp.pad(xf, (0, D * self.cps - xf.shape[0]))
-        xs = jax.device_put(
+        xs = put_sharded(
             xf.reshape(D, self.cps),
             NamedSharding(self.mesh, P(self.axis, None)),
         )

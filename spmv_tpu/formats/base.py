@@ -60,20 +60,29 @@ def x_stripes(ncols: int) -> int:
 
 @dataclass
 class PanelPlan:
-    """Engine-1 device layout (stripe-pure padded mini-panels)."""
+    """Engine-1 device layout: P-packed stripe-pure padded mini-panels.
 
-    vals: np.ndarray  # (TR, 128) f32
-    loc: np.ndarray  # (TR, 128) u16 — hi·128 + lo per element
+    Like ``SegPlan`` each of the TM×128 quad slots holds ``pack`` elements
+    in separate value/column planes (row ``i``'s k-th element sits at
+    sublane row ``panel_start + k//P``, plane ``k%P``, lane ``i&127``);
+    there is no prefix, so the stream is just values + lo + shared hi:
+    (4P + P + 1)/P = 5.25 B per element slot at P=4 (vs 6 unpacked)."""
+
+    vals: np.ndarray  # (TR, P, 128) f32 — value planes
+    lo: np.ndarray  # (TR, P, 128) u8 — in-stripe column per plane
+    hi: np.ndarray  # (TR, 128) u8 — stripe offset, uniform per sublane row
     sub_block: np.ndarray  # (TR//8,) i32 — y block per subtile
     sub_base: np.ndarray  # (TR//8,) i32 — x window base stripe per subtile
     nrows: int
     ncols: int
     nnz: int  # true nonzeros
     chunk: int  # sublane rows per grid step
+    pack: int  # P — elements per quad slot
 
     @property
     def padded_slots(self) -> int:
-        return self.vals.shape[0] * LANES
+        """Element capacity (each quad slot holds ``pack`` element slots)."""
+        return self.vals.shape[0] * LANES * self.pack
 
     @property
     def padding_ratio(self) -> float:
@@ -82,7 +91,7 @@ class PanelPlan:
     @property
     def stream_bytes(self) -> int:
         """Exact HBM bytes of the plan streams per SpMV."""
-        return self.vals.nbytes + self.loc.nbytes
+        return self.vals.nbytes + self.lo.nbytes + self.hi.nbytes
 
 
 @dataclass
@@ -196,13 +205,14 @@ def _run_heads(keys: np.ndarray):
     return run_id, run_sizes, head
 
 
-def _empty_panel(nrows, ncols, chunk) -> PanelPlan:
+def _empty_panel(nrows, ncols, chunk, pack: int = 1) -> PanelPlan:
     return PanelPlan(
-        vals=np.zeros((chunk, LANES), np.float32),
-        loc=np.zeros((chunk, LANES), np.uint16),
+        vals=np.zeros((chunk, pack, LANES), np.float32),
+        lo=np.zeros((chunk, pack, LANES), np.uint8),
+        hi=np.zeros((chunk, LANES), np.uint8),
         sub_block=np.zeros(chunk // SUBLANES, np.int32),
         sub_base=np.zeros(chunk // SUBLANES, np.int32),
-        nrows=nrows, ncols=ncols, nnz=0, chunk=chunk,
+        nrows=nrows, ncols=ncols, nnz=0, chunk=chunk, pack=pack,
     )
 
 
@@ -237,6 +247,37 @@ def _pick_pack(seg_sizes: np.ndarray) -> int:
         if t < best_t:
             best_p, best_t = p, t
     return best_p
+
+
+def _pick_pack_panel(widths: np.ndarray) -> int:
+    """Panel-engine P from the per-(block,stripe) widths K_bs: every panel
+    pads all 128 lanes to ceil(K_bs/P) quad columns.  Uses the (slightly
+    conservative) seg quad rates — the panel kernel does strictly less work
+    per quad."""
+    best_p, best_t = 1, np.inf
+    for p in (1, 2, 4):
+        quads = LANES * float(np.sum(-(-widths // p)))
+        t = max(quads * (5 * p + 1) / _STREAM_BW, quads / _QUAD_RATE[p])
+        if t < best_t:
+            best_p, best_t = p, t
+    return best_p
+
+
+def panel_pack_for(rows, cols, nrows: int, ncols: int) -> int:
+    """The panel-engine P the full matrix would pick (dist-layer analog of
+    ``seg_pack_for``)."""
+    rows = np.asarray(rows, dtype=np.int64)
+    cols = np.asarray(cols, dtype=np.int64)
+    if rows.size == 0:
+        return 1
+    nstripes = cdiv(max(ncols, 1), LANES)
+    gkey = (((rows >> 7) * nstripes + (cols >> 7)) * (nrows + 1)) + rows
+    ug, counts = np.unique(gkey, return_counts=True)
+    pair = ug // (nrows + 1)
+    upair, inv = np.unique(pair, return_inverse=True)
+    widths = np.zeros(upair.size, dtype=np.int64)
+    np.maximum.at(widths, inv, counts)
+    return _pick_pack_panel(widths)
 
 
 def seg_pack_for(rows, cols, nrows: int, ncols: int) -> int:
@@ -381,12 +422,14 @@ def build_panel_plan(
     *,
     chunk: int = DEFAULT_CHUNK,
     dtype=np.float32,
+    pack: int | None = None,
 ) -> PanelPlan:
-    """Pack COO triplets into stripe-pure padded mini-panels.
+    """Pack COO triplets into P-packed stripe-pure padded mini-panels.
 
     Per (128-row block, 128-col stripe): width K_bs = max over the block's
-    rows of that row's element count in the stripe; row ``i``'s k-th element
-    lands at sublane row ``panel_start+k``, lane ``i&127``; short rows pad
+    rows of that row's element count in the stripe, padded to whole quads
+    (multiples of P); row ``i``'s k-th element lands at sublane row
+    ``panel_start + k//P``, plane ``k%P``, lane ``i&127``; short rows pad
     with explicit zeros (the reference left ELL pad values uninitialized,
     ``ell.c:147-151``).
     """
@@ -397,9 +440,9 @@ def build_panel_plan(
     vals = np.asarray(vals)
     nnz = rows.size
     if nnz == 0:
-        return _empty_panel(nrows, ncols, chunk)
-    hit = _cache.plan_lookup("panel", rows, cols, vals, nrows, ncols, chunk,
-                             PanelPlan)
+        return _empty_panel(nrows, ncols, chunk, pack or 1)
+    hit = _cache.plan_lookup("panel2", rows, cols, vals, nrows, ncols,
+                             (chunk, pack or 0), PanelPlan)
     if hit is not None:
         return hit
     S = x_stripes(ncols)
@@ -422,38 +465,43 @@ def build_panel_plan(
     np.cumsum(grp_sizes, out=grp_starts[1:])
     k = np.arange(nnz, dtype=np.int64) - grp_starts[grp_id]
 
-    # K_bs = max group size within each run.
+    # K_bs = max group size within each run, in quad columns.
     run_of_grp = run_id[grp_head]
     K_bs = np.zeros(run_sizes.size, dtype=np.int64)
     np.maximum.at(K_bs, run_of_grp, grp_sizes)
+    P = pack if pack is not None else _pick_pack_panel(K_bs)
+    K_q = -(-K_bs // P)
 
     subrow_start = np.zeros(run_sizes.size + 1, dtype=np.int64)
-    np.cumsum(K_bs, out=subrow_start[1:])
-    elem_subrow = subrow_start[run_id] + k
+    np.cumsum(K_q, out=subrow_start[1:])
+    elem_subrow = subrow_start[run_id] + k // P
+    plane = k % P
 
     heads = np.zeros(nnz, dtype=bool)
     heads[run_starts[:-1]] = True
-    subrow_blk = np.repeat(blk[heads], K_bs)
-    subrow_stp = np.repeat(stp[heads], K_bs)
+    subrow_blk = np.repeat(blk[heads], K_q)
+    subrow_stp = np.repeat(stp[heads], K_q)
 
     slot, sub_block, sub_base, TR = _group_subtiles(
         subrow_blk, subrow_stp, S, chunk)
     final_row = slot[elem_subrow]
     lane = r & (LANES - 1)
 
-    v2d = np.zeros((TR, LANES), dtype=dtype)
-    # Pad slots must carry the row's hi (see build_seg_plan).
-    loc2d = np.zeros((TR, LANES), dtype=np.uint16)
+    v3d = np.zeros((TR, P, LANES), dtype=dtype)
+    lo3d = np.zeros((TR, P, LANES), dtype=np.uint8)
+    v3d[final_row, plane, lane] = v
+    lo3d[final_row, plane, lane] = (c & (LANES - 1)).astype(np.uint8)
+    # hi is uniform per sublane row (gather exactness) — pads included.
+    hi2d = np.zeros((TR, LANES), dtype=np.uint8)
     row_hi = subrow_stp - sub_base[slot // SUBLANES].astype(np.int64)
-    loc2d[slot, :] = (row_hi * LANES).astype(np.uint16)[:, None]
-    hi = stp - sub_base[final_row // SUBLANES].astype(np.int64)
-    assert hi.size == 0 or (0 <= hi.min() and hi.max() < SUBLANES)
-    v2d[final_row, lane] = v
-    loc2d[final_row, lane] = (hi * LANES + (c & (LANES - 1))).astype(np.uint16)
+    assert row_hi.size == 0 or (0 <= row_hi.min()
+                                and row_hi.max() < SUBLANES)
+    hi2d[slot, :] = row_hi.astype(np.uint8)[:, None]
 
     plan = PanelPlan(
-        vals=v2d, loc=loc2d, sub_block=sub_block, sub_base=sub_base,
-        nrows=nrows, ncols=ncols, nnz=nnz, chunk=chunk,
+        vals=v3d, lo=lo3d, hi=hi2d, sub_block=sub_block, sub_base=sub_base,
+        nrows=nrows, ncols=ncols, nnz=nnz, chunk=chunk, pack=P,
     )
-    _cache.plan_store("panel", rows, cols, vals, nrows, ncols, chunk, plan)
+    _cache.plan_store("panel2", rows, cols, vals, nrows, ncols,
+                      (chunk, pack or 0), plan)
     return plan

@@ -38,6 +38,11 @@ class EllMatrix:
     row_length_stats: dict  # average / shortest / longest (ell.c:103-104)
     dev: DevPanel = field(repr=False)
     plan: object = field(repr=False, default=None)  # PanelPlan (host arrays)
+    # triplets in (row, col) order, kept to materialize the classical
+    # row-major (rows, K) format arrays on demand (ell.c:121-158 parity)
+    _rows: np.ndarray = field(repr=False, default=None)
+    _cols: np.ndarray = field(repr=False, default=None)
+    _vals: np.ndarray = field(repr=False, default=None)
 
     @classmethod
     def from_coo(
@@ -49,6 +54,7 @@ class EllMatrix:
         vals: np.ndarray,
         *,
         chunk: int = DEFAULT_CHUNK,
+        pack: int | None = None,
     ) -> "EllMatrix":
         rows = np.asarray(rows, dtype=np.int64)
         order = np.lexsort((cols, rows))
@@ -60,11 +66,61 @@ class EllMatrix:
             "shortest": int(lengths.min()) if nrows else 0,
             "longest": K,
         }
-        plan = build_panel_plan(rows_s, cols_s, vals_s, nrows, ncols, chunk=chunk)
+        plan = build_panel_plan(rows_s, cols_s, vals_s, nrows, ncols, chunk=chunk,
+                                pack=pack)
         return cls(
             nrows=nrows, ncols=ncols, nnz=rows.size, K=K,
             row_length_stats=stats, dev=DevPanel.from_plan(plan), plan=plan,
+            _rows=rows_s, _cols=cols_s.astype(np.int32),
+            _vals=vals_s,
         )
+
+    @classmethod
+    def from_ell(
+        cls,
+        nrows: int,
+        ncols: int,
+        data: np.ndarray,
+        cols: np.ndarray,
+        **kwargs,
+    ) -> "EllMatrix":
+        """Ingest the classical row-major padded arrays ``data/cols`` of
+        shape (nrows, K) — the format ``ell.c:121-158`` builds.  Pad slots
+        are value 0 (explicitly stored zeros are treated as padding, the
+        standard ELL convention; the reference's pads were *uninitialized*
+        values at ``cols=0``)."""
+        data = np.asarray(data)
+        cols = np.asarray(cols)
+        if data.shape != cols.shape or data.ndim != 2 or data.shape[0] != nrows:
+            raise ValueError(f"data/cols must both be (nrows, K); got "
+                             f"{data.shape} / {cols.shape}")
+        mask = data != 0
+        r, _ = np.nonzero(mask)
+        return cls.from_coo(nrows, ncols, r, cols[mask], data[mask], **kwargs)
+
+    def ell_arrays(self) -> tuple[np.ndarray, np.ndarray]:
+        """The classical row-major (nrows, K) ``(data, cols)`` arrays
+        (``ell.c:121-158``), zero-padded (fixing the uninitialized-pad bug
+        at ``ell.c:147-151``)."""
+        data = np.zeros((self.nrows, max(self.K, 1)), dtype=np.float64)
+        colsa = np.zeros((self.nrows, max(self.K, 1)), dtype=np.int32)
+        if self._rows is not None and self._rows.size:
+            starts = np.zeros(self._rows.max() + 2, dtype=np.int64)
+            np.add.at(starts, self._rows + 1, 1)
+            np.cumsum(starts, out=starts)
+            k = np.arange(self._rows.size, dtype=np.int64) - starts[self._rows]
+            data[self._rows, k] = self._vals
+            colsa[self._rows, k] = self._cols
+        return data, colsa
+
+    @staticmethod
+    def cpu_spmv(data: np.ndarray, cols: np.ndarray, x: np.ndarray) -> np.ndarray:
+        """Independent host recompute from the classical format arrays —
+        the ``compute_using_cpu`` redundancy check (``ell.c:357-383``):
+        a conversion bug that kept the triplet set but mislaid the format
+        arrays would fail this, not just the kernel-vs-oracle check."""
+        x = np.asarray(x, dtype=np.float64)
+        return (np.asarray(data, np.float64) * x[cols]).sum(axis=1)
 
     def padded_matvec(self, x2d):
         return panel_spmv(self.dev, x2d)

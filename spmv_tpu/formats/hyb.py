@@ -95,13 +95,15 @@ class HybMatrix:
         *,
         chunk: int = DEFAULT_CHUNK,
         pack: int | None = None,
+        panel_pack: int | None = None,
     ) -> "HybMatrix":
         rows = np.asarray(rows, dtype=np.int64)
         cols = np.asarray(cols, dtype=np.int64)
         vals = np.asarray(vals)
         nnz = rows.size
         if nnz == 0:
-            plan = build_panel_plan(rows, cols, vals, nrows, ncols, chunk=chunk)
+            plan = build_panel_plan(rows, cols, vals, nrows, ncols, chunk=chunk,
+                                    pack=panel_pack)
             return cls(nrows=nrows, ncols=ncols, nnz=0, panel_nnz=0,
                        spill_nnz=0, dev=DevPanel.from_plan(plan), plan=plan)
 
@@ -128,7 +130,7 @@ class HybMatrix:
         keep = k < elem_cap
 
         plan = build_panel_plan(r[keep], c[keep], v[keep], nrows, ncols,
-                                chunk=chunk)
+                                chunk=chunk, pack=panel_pack)
         dev_spill = None
         spill_plan = None
         if (~keep).any():

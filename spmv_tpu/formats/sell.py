@@ -64,6 +64,12 @@ class SellMatrix:
     # permutation metadata for the y epilogue
     _perm_whi: object = field(repr=False, default=None)  # jnp (NB,)
     _perm_idx: object = field(repr=False, default=None)  # jnp (NB,128)
+    # sorted-space triplets + row permutation, kept to materialize the
+    # classical sliced arrays on demand (sigma_c.c:156-202 parity)
+    _rows_sorted: np.ndarray = field(repr=False, default=None)
+    _cols: np.ndarray = field(repr=False, default=None)
+    _vals: np.ndarray = field(repr=False, default=None)
+    _perm: np.ndarray = field(repr=False, default=None)  # sorted pos -> orig
 
     C = LANES
 
@@ -78,6 +84,7 @@ class SellMatrix:
         *,
         sigma: int = DEFAULT_SIGMA,
         chunk: int = DEFAULT_CHUNK,
+        pack: int | None = None,
     ) -> "SellMatrix":
         import jax.numpy as jnp
 
@@ -124,7 +131,7 @@ class SellMatrix:
         slice_widths = slens.max(axis=1)
 
         plan = build_panel_plan(rows_sorted, cols, vals, nrows_pad, ncols,
-                                chunk=chunk)
+                                chunk=chunk, pack=pack)
 
         # Epilogue metadata: output block g reads y'[invperm[128g : 128g+128]],
         # all within the σ-window containing those rows.  Padded to a
@@ -141,7 +148,85 @@ class SellMatrix:
             slice_widths=slice_widths, dev=DevPanel.from_plan(plan),
             plan=plan, sorted_rows=sorted_,
             _perm_whi=jnp.asarray(whi), _perm_idx=jnp.asarray(idx),
+            _rows_sorted=np.asarray(rows_sorted, np.int64),
+            _cols=np.asarray(cols, np.int32), _vals=vals, _perm=perm,
         )
+
+    @classmethod
+    def from_sell(
+        cls,
+        nrows: int,
+        ncols: int,
+        slice_ptr: np.ndarray,
+        data: np.ndarray,
+        cols: np.ndarray,
+        perm: np.ndarray | None = None,
+        **kwargs,
+    ) -> "SellMatrix":
+        """Ingest the classical sliced arrays (``sigma_c.c:156-202``):
+        element j of row r of slice s sits at ``slice_ptr[s] + r + j·C``
+        (column-major within the slice, C=128 here).  ``perm`` maps
+        sorted position → original row (identity when, like the reference,
+        the rows were pre-sorted outside and never unpermuted).  Pad slots
+        are value 0."""
+        slice_ptr = np.asarray(slice_ptr, dtype=np.int64)
+        data = np.asarray(data).reshape(-1)
+        cols = np.asarray(cols).reshape(-1)
+        n = data.size
+        nz = np.flatnonzero(data != 0)
+        s = np.searchsorted(slice_ptr, nz, side="right") - 1
+        off = nz - slice_ptr[s]
+        sr = s * LANES + off % LANES  # sorted row
+        orig = sr if perm is None else np.asarray(perm, np.int64)[sr]
+        if n != slice_ptr[-1]:
+            raise ValueError(f"data has {n} slots, slice_ptr ends at "
+                             f"{slice_ptr[-1]}")
+        return cls.from_coo(nrows, ncols, orig, cols[nz], data[nz], **kwargs)
+
+    def sell_arrays(self) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """The classical sliced arrays ``(slice_ptr, data, cols)``
+        (``sigma_c.c:84-202``): per slice of C=128 sorted rows a padded
+        width K_s = ``slice_widths[s]``; column-major packing within the
+        slice; calloc-style zero padding."""
+        widths = np.asarray(self.slice_widths, np.int64)
+        slice_ptr = np.zeros(widths.size + 1, dtype=np.int64)
+        np.cumsum(widths * LANES, out=slice_ptr[1:])
+        data = np.zeros(max(int(slice_ptr[-1]), 1), dtype=np.float64)
+        colsa = np.zeros(max(int(slice_ptr[-1]), 1), dtype=np.int32)
+        if self._rows_sorted is not None and self._rows_sorted.size:
+            order = np.lexsort((self._cols, self._rows_sorted))
+            sr = self._rows_sorted[order]
+            starts = np.zeros(sr.max() + 2, dtype=np.int64)
+            np.add.at(starts, sr + 1, 1)
+            np.cumsum(starts, out=starts)
+            k = np.arange(sr.size, dtype=np.int64) - starts[sr]
+            pos = slice_ptr[sr // LANES] + sr % LANES + k * LANES
+            data[pos] = self._vals[order]
+            colsa[pos] = self._cols[order]
+        return slice_ptr, data, colsa
+
+    @property
+    def perm(self) -> np.ndarray:
+        """sorted position → original row (identity when unsorted)."""
+        return self._perm
+
+    @staticmethod
+    def cpu_spmv(slice_ptr, data, cols, perm, x, nrows: int) -> np.ndarray:
+        """Independent host recompute from the classical sliced arrays —
+        the redundancy check the reference *lacks* for this format
+        (sigma_c is its only driver without ``compute_using_cpu``,
+        SURVEY.md §2.2)."""
+        slice_ptr = np.asarray(slice_ptr, np.int64)
+        data = np.asarray(data, np.float64).reshape(-1)
+        cols = np.asarray(cols).reshape(-1)
+        x = np.asarray(x, np.float64)
+        n = data.size
+        s = np.searchsorted(slice_ptr, np.arange(n), side="right") - 1
+        sr = s * LANES + (np.arange(n) - slice_ptr[s]) % LANES
+        orig = sr if perm is None else np.asarray(perm, np.int64)[sr]
+        y = np.zeros(max(int(orig.max(initial=0)) + 1, nrows), np.float64)
+        np.add.at(y, orig, data * x[cols])
+        return y[:nrows]
 
     def padded_matvec(self, x2d):
         d = self.dev

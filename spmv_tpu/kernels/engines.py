@@ -97,21 +97,6 @@ def _chunk_slice(refs, k: int, kv: int, chunk: int):
     return r[off : off + chunk, :]
 
 
-def _gathered_products(vals_c, loc_c, x_ref, sub_base_ref, g0: int,
-                       chunk: int):
-    """p = vals · x[col] for one (chunk,128) sub-chunk."""
-    lo = loc_c & (LANES - 1)
-    hi = loc_c >> 7
-    ts = []
-    for s in range(chunk // SUBLANES):
-        w = x_ref[pl.ds(sub_base_ref[g0 + s], SUBLANES), :]
-        ts.append(jnp.take_along_axis(w, hi[s * SUBLANES:(s + 1) * SUBLANES, :],
-                                      axis=0))
-    T = jnp.concatenate(ts, axis=0)  # (chunk,128) per-row x windows
-    xg = jnp.take_along_axis(T, lo, axis=1)
-    return vals_c * xg
-
-
 def _accumulate(o_ref, parts, sub_block_ref, g0: int, nsub: int):
     for s in range(nsub):
         b = sub_block_ref[g0 + s]
@@ -119,12 +104,43 @@ def _accumulate(o_ref, parts, sub_block_ref, g0: int, nsub: int):
         o_ref[0:1, pl.ds(off, LANES)] += parts[s : s + 1, :]
 
 
+def _packed_products(k: int, ns: int, chunk: int, pack: int, kva: int,
+                     vals_refs, lo_refs, hi_refs, x_ref, sub_base_ref, g0):
+    """p = Σ_planes vals_p · x[col_p] for one (chunk,128) sub-chunk: one
+    shared x-window gather (hi uniform per sublane row) + P lane gathers
+    combined on the VPU."""
+    hi_c = _chunk_slice(hi_refs, k, ns, chunk).astype(jnp.int32)
+    ts = []
+    for s in range(chunk // SUBLANES):
+        w = x_ref[pl.ds(sub_base_ref[g0 + s], SUBLANES), :]
+        ts.append(jnp.take_along_axis(
+            w, hi_c[s * SUBLANES:(s + 1) * SUBLANES, :], axis=0))
+    T = jnp.concatenate(ts, axis=0)  # (chunk,128) per-row x windows
+    p = jnp.zeros((chunk, LANES), jnp.float32)
+    for pp in range(pack):
+        lo_c = _chunk_slice((lo_refs[pp],), k, ns, chunk).astype(jnp.int32)
+        v_c = _chunk_slice(vals_refs[pp * kva:(pp + 1) * kva], k, ns, chunk)
+        p = p + v_c * jnp.take_along_axis(T, lo_c, axis=1)
+    return p
+
+
+def _split_rowsum(R, p):
+    """2-pass bf16 8-row sums on the MXU (R is 0/1, exact in bf16)."""
+    ph = p.astype(jnp.bfloat16)
+    plo = (p - ph.astype(jnp.float32)).astype(jnp.bfloat16)
+    return (jnp.dot(R, ph, preferred_element_type=jnp.float32)
+            + jnp.dot(R, plo, preferred_element_type=jnp.float32))
+
+
 # ---------------------------------------------------------------- engine 1
 
 
-def _panel_kernel(chunk: int, kv: int, sub_block_ref, sub_base_ref, *refs):
-    vals_refs = refs[:kv]
-    loc_refs = refs[kv : kv + max(kv // 2, 1)]
+def _panel_kernel(chunk: int, ns: int, kva: int, pack: int,
+                  sub_block_ref, sub_base_ref, *refs):
+    nv = pack * kva
+    vals_refs = refs[:nv]
+    lo_refs = refs[nv : nv + pack]
+    hi_refs = refs[nv + pack : nv + pack + 1]
     x_ref, o_ref = refs[-2], refs[-1]
     step = pl.program_id(0)
 
@@ -134,45 +150,41 @@ def _panel_kernel(chunk: int, kv: int, sub_block_ref, sub_base_ref, *refs):
 
     R = _rowsum_matrix(chunk).astype(jnp.bfloat16)
     nsub = chunk // SUBLANES
-    for k in range(kv):
-        g0 = step * (kv * nsub) + k * nsub
-        loc_c = _chunk_slice(loc_refs, k, kv, chunk).astype(jnp.int32)
-        p = _gathered_products(vals_refs[k][:], loc_c, x_ref, sub_base_ref,
-                               g0, chunk)
-        # 8-row sums on the MXU: R is 0/1 (exact in bf16), p splits hi+lo.
-        ph = p.astype(jnp.bfloat16)
-        plo = (p - ph.astype(jnp.float32)).astype(jnp.bfloat16)
-        parts = (jnp.dot(R, ph, preferred_element_type=jnp.float32)
-                 + jnp.dot(R, plo, preferred_element_type=jnp.float32))
+    for k in range(ns):
+        g0 = step * (ns * nsub) + k * nsub
+        p = _packed_products(k, ns, chunk, pack, kva, vals_refs, lo_refs,
+                             hi_refs, x_ref, sub_base_ref, g0)
+        parts = _split_rowsum(R, p)
         _accumulate(o_ref, parts, sub_block_ref, g0, nsub)
 
 
 @jax.jit
 def panel_spmv(dev, x2d):
-    """Engine 1: y(1, 128·out_blocks) = A·x over stripe-pure mini-panels."""
-    chunk, kv = dev.chunk, dev.kv
-    TM = dev.vals[0].shape[0] * kv
-    kernel = functools.partial(_panel_kernel, chunk, kv)
-    kl = max(kv // 2, 1)
+    """Engine 1: y(1, 128·out_blocks) = A·x over P-packed stripe-pure
+    mini-panels (vs ``Ell.cl``'s workgroup-per-row tree reduction and
+    ``Sigma_C.cl``'s slice kernel)."""
+    chunk, ns, kva, pack = dev.chunk, dev.ns, dev.kva, dev.pack
+    TM = dev.vals[0].shape[0] * kva
+    kernel = functools.partial(_panel_kernel, chunk, ns, kva, pack)
     in_specs = (
-        [pl.BlockSpec((chunk, LANES), lambda i, *_: (i, 0),
-                      memory_space=pltpu.VMEM)] * kv
-        + [pl.BlockSpec((chunk * kv // kl, LANES), lambda i, *_: (i, 0),
-                        memory_space=pltpu.VMEM)] * kl
+        [pl.BlockSpec((chunk * ns // kva, LANES), lambda i, *_: (i, 0),
+                      memory_space=pltpu.VMEM)] * (pack * kva)
+        + [pl.BlockSpec((chunk * ns, LANES), lambda i, *_: (i, 0),
+                        memory_space=pltpu.VMEM)] * (pack + 1)
         + [pl.BlockSpec(memory_space=pltpu.VMEM)]
     )
     return pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
-            grid=(TM // (chunk * kv),),
+            grid=(TM // (chunk * ns),),
             in_specs=in_specs,
             out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         ),
         out_shape=jax.ShapeDtypeStruct((1, dev.out_blocks * LANES),
                                        jnp.float32),
         interpret=_interpret(),
-    )(dev.sub_block, dev.sub_base, *dev.vals, *dev.loc, x2d)
+    )(dev.sub_block, dev.sub_base, *dev.vals, *dev.lo, dev.hi, x2d)
 
 
 # ---------------------------------------------------------------- engine 2
@@ -197,23 +209,10 @@ def _seg_kernel(chunk: int, ns: int, kva: int, pack: int,
     nsub = chunk // SUBLANES
     for k in range(ns):
         g0 = step * (ns * nsub) + k * nsub
-        # One (8,128) x window + depth-8 sublane gather per subtile (hi is
-        # uniform per sublane row), shared by all P planes.
-        hi_c = _chunk_slice(hi_refs, k, ns, chunk).astype(jnp.int32)
-        ts = []
-        for s in range(nsub):
-            w = x_ref[pl.ds(sub_base_ref[g0 + s], SUBLANES), :]
-            ts.append(jnp.take_along_axis(
-                w, hi_c[s * SUBLANES:(s + 1) * SUBLANES, :], axis=0))
-        T = jnp.concatenate(ts, axis=0)  # (chunk,128) per-row x windows
-        # Pairwise pre-reduction: P gathered products combine on the VPU
-        # before the MXU prefix — prefix cycles and index bytes drop P×.
-        p = jnp.zeros((chunk, LANES), jnp.float32)
-        for pp in range(pack):
-            lo_c = _chunk_slice((lo_refs[pp],), k, ns, chunk).astype(jnp.int32)
-            v_c = _chunk_slice(vals_refs[pp * kva:(pp + 1) * kva], k, ns,
-                               chunk)
-            p = p + v_c * jnp.take_along_axis(T, lo_c, axis=1)
+        # P-packed pre-reduction (shared with engine 1): the VPU combine
+        # amortizes the MXU prefix and the index bytes over P elements.
+        p = _packed_products(k, ns, chunk, pack, kva, vals_refs, lo_refs,
+                             hi_refs, x_ref, sub_base_ref, g0)
         cs = _split_dot(p, U)  # inclusive lane prefix on the MXU
         gi = _chunk_slice(gidx_refs, k, ns, chunk).astype(jnp.int32)
         # pidx = previous lid's filled gidx — a one-lane shift (gidx is a
@@ -223,10 +222,7 @@ def _seg_kernel(chunk: int, ns: int, kva: int, pack: int,
         pieces = (jnp.take_along_axis(cs, gi, axis=1)
                   - jnp.take_along_axis(cs, pi, axis=1))
         # R is (nsub, chunk): split the streaming operand (pieces).
-        ph = pieces.astype(jnp.bfloat16)
-        plo = (pieces - ph.astype(jnp.float32)).astype(jnp.bfloat16)
-        parts = (jnp.dot(R, ph, preferred_element_type=jnp.float32)
-                 + jnp.dot(R, plo, preferred_element_type=jnp.float32))
+        parts = _split_rowsum(R, pieces)
         _accumulate(o_ref, parts, sub_block_ref, g0, nsub)
 
 

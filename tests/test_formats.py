@@ -187,3 +187,63 @@ def test_heterogeneous_row_magnitudes(fmt):
     rep = check_result(expected, y, tol_abs=1e-5, scale=scale,
                        tol_rel=engine_rel_tol(int(lengths.max())))
     assert rep.ok, f"{fmt}: {rep}"
+
+
+def test_ell_format_arrays_roundtrip_and_cpu():
+    """ELL's classical row-major (rows, K) arrays (ell.c:121-158): the
+    format-native ingest round-trips, and an independent host recompute
+    from those arrays matches the oracle — the cross-implementation
+    redundancy the reference runs as compute_using_cpu (ell.c:357-383)."""
+    info, r, c, v = synth.synthetic_cant(n=700, avg_nnz_per_row=9,
+                                         bandwidth=70, seed=31)
+    a = spmv_tpu.from_coo("ell", info.nrows, info.ncols, r, c, v)
+    data, cols = a.ell_arrays()
+    assert data.shape == (info.nrows, a.K) == cols.shape
+    assert np.count_nonzero(data) == a.nnz
+
+    rng = np.random.default_rng(8)
+    x = rng.standard_normal(info.ncols)
+    y_cpu = spmv_tpu.EllMatrix.cpu_spmv(data, cols, x)
+    np.testing.assert_allclose(y_cpu, golden_spmv(info.nrows, r, c, v, x),
+                               rtol=1e-12, atol=1e-12)
+
+    b = spmv_tpu.EllMatrix.from_ell(info.nrows, info.ncols, data, cols)
+    assert b.nnz == a.nnz and b.K == a.K
+    np.testing.assert_allclose(np.asarray(b.matvec(x.astype(np.float32))),
+                               np.asarray(a.matvec(x.astype(np.float32))),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_sell_format_arrays_roundtrip_and_cpu():
+    """SELL-C-σ's classical sliced column-major arrays (sigma_c.c:156-202)
+    + the independent host recompute the reference LACKS for this format
+    (sigma_c.c has no compute_using_cpu, SURVEY.md §2.2)."""
+    # skewed row lengths so the σ-sort actually applies (perm != identity)
+    info, r, c, v = synth.synthetic_cant(n=700, avg_nnz_per_row=6,
+                                         bandwidth=700, seed=33)
+    heavy = (r % 97) == 0
+    r = np.concatenate([r, np.repeat(r[heavy], 5)])
+    c = np.concatenate([c, (np.arange(heavy.sum() * 5) * 13) % info.ncols])
+    v = np.concatenate([v, np.full(heavy.sum() * 5, 0.5)])
+    # dedupe (duplicates would sum in-kernel but break nnz accounting here)
+    u = np.unique(r * info.ncols + c, return_index=True)[1]
+    r, c, v = r[u], c[u], v[u]
+
+    a = spmv_tpu.from_coo("sell", info.nrows, info.ncols, r, c, v)
+    slice_ptr, data, cols = a.sell_arrays()
+    assert slice_ptr[-1] == data.size == cols.size
+    assert np.count_nonzero(data) == a.nnz
+
+    rng = np.random.default_rng(9)
+    x = rng.standard_normal(info.ncols)
+    y_cpu = spmv_tpu.SellMatrix.cpu_spmv(slice_ptr, data, cols, a.perm, x,
+                                         info.nrows)
+    np.testing.assert_allclose(y_cpu, golden_spmv(info.nrows, r, c, v, x),
+                               rtol=1e-12, atol=1e-12)
+
+    b = spmv_tpu.SellMatrix.from_sell(info.nrows, info.ncols, slice_ptr,
+                                      data, cols, a.perm)
+    assert b.nnz == a.nnz
+    np.testing.assert_allclose(np.asarray(b.matvec(x.astype(np.float32))),
+                               np.asarray(a.matvec(x.astype(np.float32))),
+                               rtol=1e-5, atol=1e-5)

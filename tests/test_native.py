@@ -25,7 +25,7 @@ def test_grouping_fallback_parity(monkeypatch):
     for name in ("vals", "lo", "hi", "gidx", "sub_block", "sub_base"):
         np.testing.assert_array_equal(getattr(p_nat, name),
                                       getattr(p_py, name), err_msg=name)
-    for name in ("vals", "loc", "sub_block", "sub_base"):
+    for name in ("vals", "lo", "hi", "sub_block", "sub_base"):
         np.testing.assert_array_equal(getattr(q_nat, name),
                                       getattr(q_py, name), err_msg=name)
 
