@@ -30,7 +30,8 @@ import numpy as np
 from spmv_tpu.device import x_table_rows, x_to_table
 from spmv_tpu.formats.base import LANES
 
-__all__ = ["BenchResult", "bench_format", "measure_hbm_bw", "bytes_per_slot"]
+__all__ = ["BenchResult", "bench_format", "bench_spmm", "measure_hbm_bw",
+           "bytes_per_slot"]
 
 V5E_HBM_BW = 819e9  # spec fallback when the probe can't run
 
@@ -90,7 +91,7 @@ def bench_format(
     *,
     iters_a: int = 50,
     iters_b: int = 250,
-    repeats: int = 5,
+    repeats: int = 9,
     hbm_bw: float | None = None,
     x0: np.ndarray | None = None,
 ) -> BenchResult:
@@ -161,27 +162,99 @@ def traffic_model(a) -> tuple[int, float]:
     if spill is not None:
         slots += spill.element_slots
         total += float(spill.stream_bytes)
+    total += float(getattr(a, "epilogue_bytes", 0))  # SELL unpermute pass
     return slots, total
 
 
+def bench_spmm(
+    a,
+    format_name: str,
+    rhs: int,
+    *,
+    iters_a: int = 20,
+    iters_b: int = 100,
+    repeats: int = 5,
+    hbm_bw: float | None = None,
+) -> dict:
+    """Multi-RHS benchmark: Y = A @ X with X (ncols, R), same chained-loop
+    slope protocol as ``bench_format``.  The natural citizen is BSR (one
+    batched MXU matmul); other formats time R chained SpMVs."""
+    import jax
+
+    from spmv_tpu.api import spmm
+
+    rng = np.random.default_rng(0)
+    X0 = jnp.asarray(rng.standard_normal((a.ncols, rhs)).astype(np.float32))
+
+    def chain(iters):
+        @jax.jit
+        def loop(X):
+            def body(i, X):
+                Y = spmm(a, X)
+                nrm = jax.lax.rsqrt(jnp.sum(Y * Y) + 1e-9)
+                Yn = Y * nrm
+                # feed back: (nrows, R) → (ncols, R)
+                if a.nrows >= a.ncols:
+                    return Yn[: a.ncols, :]
+                return jnp.pad(Yn, ((0, a.ncols - a.nrows), (0, 0)))
+            return jax.lax.fori_loop(0, iters, body, X)
+        return loop
+
+    fa, fb = chain(iters_a), chain(iters_b)
+    _fetch(fa(X0)); _fetch(fb(X0))
+    slopes = []
+    for _ in range(repeats):
+        t0 = time.perf_counter(); _fetch(fa(X0)); ta = time.perf_counter() - t0
+        t0 = time.perf_counter(); _fetch(fb(X0)); tb = time.perf_counter() - t0
+        slopes.append((tb - ta) / (iters_b - iters_a))
+    t = max(float(np.median(slopes)), 1e-9)
+    gnv = a.nnz * rhs / t / 1e9
+    out = {
+        "format": format_name,
+        "rhs": rhs,
+        "nnz": a.nnz,
+        "ms_per_spmm": t * 1e3,
+        "gnnzvec_per_s": gnv,
+        "gflops": 2 * a.nnz * rhs / (t * 1e3) * 1e-6,  # reference formula × R
+    }
+    if hasattr(a, "fill"):
+        out["fill"] = a.fill
+    return out
+
+
 def measure_hbm_bw(mb: int = 128, iters: int = 100) -> float:
-    """Serialized elementwise read+write probe → bytes/s.  The fori_loop
-    carry serializes iterations; each is exactly one read + one write pass
-    (2 × array bytes)."""
+    """HBM speed-of-light probe → bytes/s: max of a serialized elementwise
+    read+write pass and a pure-read reduction pass.  The SpMV streams are
+    read-dominated, and pure reads measurably exceed the read+write rate
+    on this chip (round-2 ELL read >100% of the old read+write-only
+    ceiling), so the roofline denominator takes the larger of the two."""
     n = mb * 1024 * 1024 // 4
     a = jnp.ones((n // LANES, LANES), jnp.float32)
 
-    def make(k):
+    def make_rw(k):
         @jax.jit
         def loop(a):
             return jax.lax.fori_loop(0, k, lambda i, a: a * 1.0000001, a)
         return loop
 
-    loop1, loop2 = make(iters), make(2 * iters)
-    _fetch(loop1(a)); _fetch(loop2(a))
-    t1 = t2 = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter(); _fetch(loop1(a)); t1 = min(t1, time.perf_counter() - t0)
-        t0 = time.perf_counter(); _fetch(loop2(a)); t2 = min(t2, time.perf_counter() - t0)
-    per_iter = max((t2 - t1) / iters, 1e-9)
-    return 2 * n * 4 / per_iter
+    def make_rd(k):
+        @jax.jit  # a rides as an argument — closures become compile payload
+        def loop(a, s):
+            # multiply by the carried scalar so XLA cannot hoist the read
+            def body(i, s):
+                return jnp.sum(a * s) * 1e-38 + 1.0
+            return jax.lax.fori_loop(0, k, body, s)
+        return loop
+
+    def slope(l1, l2, *args):
+        _fetch(l1(*args)); _fetch(l2(*args))
+        t1 = t2 = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter(); _fetch(l1(*args)); t1 = min(t1, time.perf_counter() - t0)
+            t0 = time.perf_counter(); _fetch(l2(*args)); t2 = min(t2, time.perf_counter() - t0)
+        return max((t2 - t1) / iters, 1e-9)
+
+    rw = 2 * n * 4 / slope(make_rw(iters), make_rw(2 * iters), a)
+    rd = n * 4 / slope(make_rd(iters), make_rd(2 * iters), a,
+                       jnp.float32(1.0))
+    return max(rw, rd)

@@ -25,6 +25,9 @@ import numpy as np
 from spmv_tpu.errors import ReturnCode
 
 ALL_FORMATS = ["coo", "csr", "ell", "sell", "cmrs", "hyb"]
+# matvec suite + the multi-RHS block format; `run/bench --format bsr`
+# (optionally with --rhs R) reaches the SpMM engine class
+CLI_FORMATS = ALL_FORMATS + ["bsr"]
 
 
 def _load(args):
@@ -93,11 +96,17 @@ def cmd_run(args) -> int:
         print(f"error reading {args.matrix}: {e}", file=sys.stderr)
         return ReturnCode.FILE_ERROR
 
-    x = _make_x(args.x, info.ncols, args.seed)
+    rhs = max(int(getattr(args, "rhs", 1)), 1)
     try:
         a = spmv_tpu.from_coo(args.format, info.nrows, info.ncols,
                               rows, cols, vals)
-        y = np.asarray(a.matvec(x))
+        if rhs > 1:
+            X = np.stack([_make_x(args.x, info.ncols, args.seed + j)
+                          for j in range(rhs)], axis=1)
+            Y = np.asarray(spmv_tpu.spmm(a, X))
+        else:
+            x = _make_x(args.x, info.ncols, args.seed)
+            y = np.asarray(a.matvec(x))
     except Exception as e:
         print(f"kernel error: {type(e).__name__}: {e}", file=sys.stderr)
         return ReturnCode.PROGRAM_ERROR
@@ -107,18 +116,35 @@ def cmd_run(args) -> int:
         print(f"row length: average {st['average']:.2f}, "
               f"shortest {st['shortest']}, longest {st['longest']}")
 
-    ok, verdict = _validate(info, rows, cols, vals, x, y, a)
-    print(verdict)
+    if rhs > 1:
+        ok = True
+        for j in range(rhs):
+            okj, verdict = _validate(info, rows, cols, vals, X[:, j], Y[:, j], a)
+            ok = ok and okj
+        print(f"{verdict}  [{rhs} right-hand sides]")
+    else:
+        ok, verdict = _validate(info, rows, cols, vals, x, y, a)
+        print(verdict)
 
     if args.bench:
-        from spmv_tpu.bench.runner import bench_format
-        r = bench_format(a, args.format)
-        print(f"{r.ms_per_spmv:.3f} ms/SpMV  {r.gnnz_per_s:.2f} Gnnz/s  "
-              f"{r.gflops:.1f} GFLOP/s  {r.effective_gbps:.0f} GB/s effective "
-              f"({r.roofline_pct:.1f}% of roofline)")
-        if args.json:
-            with open(args.json, "w") as f:
-                json.dump(r.to_dict(), f, indent=2)
+        if rhs > 1:
+            from spmv_tpu.bench.runner import bench_spmm
+            r = bench_spmm(a, args.format, rhs)
+            print(f"{r['ms_per_spmm']:.3f} ms/SpMM  "
+                  f"{r['gnnzvec_per_s']:.2f} Gnnz·vec/s  "
+                  f"{r['gflops']:.1f} GFLOP/s (R={rhs})")
+            if args.json:
+                with open(args.json, "w") as f:
+                    json.dump(r, f, indent=2)
+        else:
+            from spmv_tpu.bench.runner import bench_format
+            r = bench_format(a, args.format)
+            print(f"{r.ms_per_spmv:.3f} ms/SpMV  {r.gnnz_per_s:.2f} Gnnz/s  "
+                  f"{r.gflops:.1f} GFLOP/s  {r.effective_gbps:.0f} GB/s effective "
+                  f"({r.roofline_pct:.1f}% of roofline)")
+            if args.json:
+                with open(args.json, "w") as f:
+                    json.dump(r.to_dict(), f, indent=2)
 
     return ReturnCode.SUCCESS if ok else ReturnCode.VALIDATION_FAILED
 
@@ -138,6 +164,10 @@ def cmd_bench(args) -> int:
             print(f"D={pt['devices']:3d}: {pt['ms_per_spmv']:7.3f} ms  "
                   f"{pt['gnnz_per_s']:6.2f} Gnnz/s  "
                   f"eff {pt['efficiency']:.2f}{tag}")
+        for m in rep.get("modeled_efficiency", []):
+            print(f"D={m['devices']:3d}: modeled eff "
+                  f"{m['eff_no_overlap']:.2f}-{m['eff_overlap']:.2f} "
+                  f"(ICI all-gather {m['t_comm_us']:.1f} us)")
         if args.json:
             with open(args.json, "w") as f:
                 json.dump(rep, f, indent=2)
@@ -151,6 +181,7 @@ def cmd_bench(args) -> int:
 
     formats = ALL_FORMATS if args.formats == "all" else args.formats.split(",")
     bw = measure_hbm_bw() if args.probe_bw else None
+    rhs = max(int(args.rhs), 1)
     results = {}
     import contextlib
 
@@ -162,6 +193,14 @@ def cmd_bench(args) -> int:
     with prof:
         for fmt in formats:
             a = spmv_tpu.from_coo(fmt, info.nrows, info.ncols, rows, cols, vals)
+            if rhs > 1 or fmt == "bsr":
+                from spmv_tpu.bench.runner import bench_spmm
+                r = bench_spmm(a, fmt, rhs if rhs > 1 else 128)
+                results[fmt] = r
+                print(f"{fmt:5s}: {r['ms_per_spmm']:7.3f} ms  "
+                      f"{r['gnnzvec_per_s']:6.2f} Gnnz·vec/s "
+                      f"{r['gflops']:8.1f} GFLOP/s  (R={r['rhs']})")
+                continue
             r = bench_format(a, fmt, hbm_bw=bw)
             results[fmt] = r.to_dict()
             print(f"{fmt:5s}: {r.ms_per_spmv:7.3f} ms  {r.gnnz_per_s:6.2f} Gnnz/s "
@@ -222,9 +261,12 @@ def main(argv=None) -> int:
 
     r = sub.add_parser("run", help="one format end-to-end with validation")
     common(r)
-    r.add_argument("--format", default="csr", choices=ALL_FORMATS)
+    r.add_argument("--format", default="csr", choices=CLI_FORMATS)
     r.add_argument("--x", default="index", choices=["index", "random"],
                    help="input vector: reference x[i]=i or random")
+    r.add_argument("--rhs", type=int, default=1,
+                   help="right-hand sides: >1 runs SpMM (Y = A @ X) — the "
+                        "natural mode for --format bsr")
     r.add_argument("--seed", type=int, default=0)
     r.add_argument("--bench", action="store_true")
     r.add_argument("--json", default="")
@@ -239,6 +281,9 @@ def main(argv=None) -> int:
                    help="weak-scaling sweep over the available device mesh "
                         "(--formats picks ONE format, default cmrs)")
     b.add_argument("--rows-per-device", type=int, default=16384)
+    b.add_argument("--rhs", type=int, default=1,
+                   help="right-hand sides: >1 benches SpMM instead of SpMV "
+                        "(bsr defaults to R=128 even without this flag)")
     b.add_argument("--profile", default="",
                    help="directory for a jax.profiler trace of the bench")
     b.add_argument("--json", default="")

@@ -9,13 +9,21 @@ point and the overflow elements spill into engine 2's segmented stream:
     cost(cap) = _PANEL_B · 128 · cap  +  _SPILL_B · Σ_r max(0, n_r − cap)
 
 is minimized at the smallest cap where at most 128·_PANEL_B/_SPILL_B
-(= 48 at the tuned constants below) of the block's 128 rows still exceed
-it — computed exactly per (block, stripe) from the row-count histogram.  On the cant-scale band matrix this cuts
-panel padding from ~2.3× (pure ELL) to ~1.1× and spills ~25 % of the
-nonzeros, making HYB the fastest format in the suite.
+of the block's 128 rows still exceed it — computed exactly per
+(block, stripe) from the row-count histogram.
 
-``matvec`` runs both engines and adds the padded partial results — both
-produce (1, out_blocks·128), so the combination is one fused XLA add.
+With both engines P-packed (round 2) the per-byte costs are nearly equal
+(panel 5.25 B, spill ~6.3 B per element), so the hybrid's byte savings
+are modest — and a second kernel dispatch costs ~_DISPATCH_S.  The
+builder therefore prices all three shapes (pure panel / hybrid / pure
+spill) with the byte model plus dispatch overhead and keeps the cheapest:
+on small matrices HYB collapses to a single engine instead of paying a
+dispatch it cannot amortize (round-1's tuned 16 B spill constant was an
+artifact of the then-unpacked segmented engine running at 59 % of
+roofline; re-swept in round 2 on the packed engines).
+
+``matvec`` runs the chosen engines and adds the padded partial results —
+both produce (1, out_blocks·128), so the combination is one fused XLA add.
 """
 
 from __future__ import annotations
@@ -36,14 +44,12 @@ from spmv_tpu.kernels.engines import panel_spmv, segmented_spmv
 
 __all__ = ["HybMatrix"]
 
-_PANEL_B = 6.0  # bytes per panel slot (vals f32 + loc u16)
-# Effective cost per spilled nnz, swept empirically on the bench chip
-# (7/10/13/16/20/26 B → 49.8/49.7/51.4/57.4/49.9/49.2 Gnnz/s on the
-# cant-scale band matrix): the raw spill stream is 8 B plus ~1.25×
-# fragmentary-run padding, but the segmented engine also runs at a lower
-# fraction of the roofline than the panel engine, so the byte model
-# understates the true cost of spilling.
-_SPILL_B = 16.0
+_PANEL_B = 5.25  # bytes per P=4 packed panel slot ((4P+P+1)/P)
+# bytes per spilled element: P=4 segmented slot (5P+2)/P = 5.5 plus ~15 %
+# quad/fragment padding of the clipped tails
+_SPILL_B = 6.3
+_DISPATCH_S = 12e-6  # measured extra pallas_call dispatch+drain, one v5e
+_BW = 600e9  # in-engine streaming rate both engines sustain (DESIGN.md)
 
 
 def _optimal_caps(counts: np.ndarray, pair_id: np.ndarray,
@@ -54,7 +60,7 @@ def _optimal_caps(counts: np.ndarray, pair_id: np.ndarray,
     to pair ``pair_id[i]``.  cost(cap+1) − cost(cap) =
     128·_PANEL_B − _SPILL_B·H(cap) with H(c) = #groups of the pair whose
     count exceeds c, so the optimum is the smallest cap with
-    H(cap) ≤ 128·_PANEL_B/_SPILL_B (= 48 at the tuned constants).
+    H(cap) ≤ 128·_PANEL_B/_SPILL_B.
     """
     thresh = int(LANES * _PANEL_B / _SPILL_B)
     caps = np.zeros(npairs, dtype=np.int64)
@@ -70,6 +76,14 @@ def _optimal_caps(counts: np.ndarray, pair_id: np.ndarray,
         # thresh rows are present at all — spill the whole pair).
         caps[p] = int(c[thresh]) if c.size > thresh else 0
     return caps
+
+
+def _modeled_seconds(panel_slots: int, spill_elems: int,
+                     n_engines: int) -> float:
+    """Byte-model time of a candidate split: streamed bytes over the
+    in-engine rate plus per-kernel dispatch overhead."""
+    return ((panel_slots * _PANEL_B + spill_elems * _SPILL_B) / _BW
+            + n_engines * _DISPATCH_S)
 
 
 @dataclass
@@ -129,6 +143,26 @@ class HybMatrix:
         elem_cap = caps[pair_inv[grp]]
         keep = k < elem_cap
 
+        # Price the three shapes (byte model + dispatch overhead) and keep
+        # the cheapest — HYB must never be slower than the engines it
+        # combines just because the matrix is too small to amortize a
+        # second kernel launch.
+        pq = 4  # modeling granularity: the packed engines' quad width
+        widths = np.zeros(upairs.size, dtype=np.int64)
+        np.maximum.at(widths, pair_inv, gsizes)
+        panel_pure = int(LANES * (-(-widths // pq) * pq).sum())
+        panel_hyb = int(LANES * (-(-caps // pq) * pq).sum())
+        spill_hyb = int((~keep).sum())
+        t_panel = _modeled_seconds(panel_pure, 0, 1)
+        t_spill = _modeled_seconds(0, nnz, 1)
+        t_hyb = _modeled_seconds(panel_hyb, spill_hyb,
+                                 2 if 0 < spill_hyb < nnz else 1)
+        best = min((t_hyb, "hyb"), (t_panel, "panel"), (t_spill, "spill"))[1]
+        if best == "panel":
+            keep = np.ones(nnz, dtype=bool)
+        elif best == "spill":
+            keep = np.zeros(nnz, dtype=bool)
+
         plan = build_panel_plan(r[keep], c[keep], v[keep], nrows, ncols,
                                 chunk=chunk, pack=panel_pack)
         dev_spill = None
@@ -145,10 +179,12 @@ class HybMatrix:
         )
 
     def padded_matvec(self, x2d):
-        y = panel_spmv(self.dev, x2d)
-        if self.dev_spill is not None:
-            y = y + segmented_spmv(self.dev_spill, x2d)
-        return y
+        if self.dev_spill is None:
+            return panel_spmv(self.dev, x2d)
+        if self.panel_nnz == 0:
+            # pure-spill shape: don't pay a dispatch for an empty panel
+            return segmented_spmv(self.dev_spill, x2d)
+        return panel_spmv(self.dev, x2d) + segmented_spmv(self.dev_spill, x2d)
 
     def matvec(self, x):
         x2d = x_to_table(x, self.ncols)

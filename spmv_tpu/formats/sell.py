@@ -210,6 +210,16 @@ class SellMatrix:
         """sorted position → original row (identity when unsorted)."""
         return self._perm
 
+    @property
+    def epilogue_bytes(self) -> int:
+        """Extra HBM traffic of the unpermute epilogue when the σ-sort
+        applied: y' write + y' read + idx read (0 when skipped) — counted
+        by the bench traffic model so SELL's roofline stays honest."""
+        if not self.sorted_rows:
+            return 0
+        nbp = int(self._perm_idx.shape[0])
+        return nbp * LANES * (4 + 4 + 4)
+
     @staticmethod
     def cpu_spmv(slice_ptr, data, cols, perm, x, nrows: int) -> np.ndarray:
         """Independent host recompute from the classical sliced arrays —

@@ -17,7 +17,8 @@ import numpy as np
 
 from spmv_tpu.io.mmio import MMInfo
 
-__all__ = ["synthetic_cant", "random_coo", "EDGE_CASES", "edge_case"]
+__all__ = ["synthetic_cant", "random_coo", "power_law", "EDGE_CASES",
+           "edge_case"]
 
 
 def _as_result(nrows, ncols, rows, cols, vals, index_dtype=np.int32, dtype=np.float64):
@@ -63,6 +64,48 @@ def synthetic_cant(
     offs = rng.integers(-bandwidth, bandwidth + 1, size=total)
     cols = np.clip(rows + offs, 0, n - 1)
     # Dedup within row to keep the format converters honest about true nnz.
+    key = rows * np.int64(n) + cols
+    _, keep = np.unique(key, return_index=True)
+    rows, cols = rows[keep], cols[keep]
+    vals = rng.standard_normal(rows.size)
+    return _as_result(n, n, rows, cols, vals, index_dtype, dtype)
+
+
+def power_law(
+    n: int = 32_768,
+    avg_nnz_per_row: int = 16,
+    alpha: float = 1.8,
+    max_row: int | None = None,
+    bandwidth: int | None = None,
+    seed: int = 0,
+    *,
+    index_dtype=np.int32,
+    dtype=np.float64,
+):
+    """A scale-free matrix: Zipf-distributed row lengths (a few hub rows
+    hundreds long, a long tail of 1-2 nnz rows) — the row-length profile of
+    web/social-graph adjacency and locally-refined meshes, and the matrix
+    class where SELL-C-σ's row sort pays: natural order mixes hubs with
+    tail rows in every 128-row block so ELL's per-block max padding
+    explodes, while the σ-sort groups like-length rows.
+
+    ``bandwidth`` clusters columns within ±bandwidth of the diagonal
+    (locality-ordered graphs / adaptive meshes); ``None`` = uniform random
+    columns (worst case for any padded layout)."""
+    rng = np.random.default_rng(seed)
+    raw = rng.zipf(alpha, size=n).astype(np.int64)
+    cap = max_row if max_row is not None else max(n // 16, 8)
+    lengths = np.minimum(raw, cap)
+    # rescale to the requested density
+    lengths = np.maximum(1, (lengths * (avg_nnz_per_row / max(lengths.mean(), 1e-9))
+                             ).astype(np.int64))
+    lengths = np.minimum(lengths, n if bandwidth is None else 2 * bandwidth)
+    rows = np.repeat(np.arange(n, dtype=np.int64), lengths)
+    if bandwidth is None:
+        cols = rng.integers(0, n, size=rows.size)
+    else:
+        offs = rng.integers(-bandwidth, bandwidth + 1, size=rows.size)
+        cols = np.clip(rows + offs, 0, n - 1)
     key = rows * np.int64(n) + cols
     _, keep = np.unique(key, return_index=True)
     rows, cols = rows[keep], cols[keep]

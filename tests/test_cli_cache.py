@@ -109,3 +109,19 @@ def test_cli_cache_dir(mtx, tmp_path, capsys):
     assert rc == ReturnCode.SUCCESS
     from spmv_tpu import cache
     cache.set_plan_cache(None)  # don't leak into other tests
+
+
+def test_cli_run_bsr_spmm(mtx, capsys):
+    """The SpMM engine class is reachable from the CLI (round-1 verdict
+    item 8): bsr + --rhs validates every column against the oracle."""
+    rc = main(["run", "--format", "bsr", "--matrix", mtx, "--rhs", "4"])
+    out = capsys.readouterr().out
+    assert rc == ReturnCode.SUCCESS
+    assert "result is ok" in out and "4 right-hand sides" in out
+
+
+def test_cli_run_rhs_on_matvec_format(mtx, capsys):
+    rc = main(["run", "--format", "csr", "--matrix", mtx, "--rhs", "2"])
+    out = capsys.readouterr().out
+    assert rc == ReturnCode.SUCCESS
+    assert "2 right-hand sides" in out

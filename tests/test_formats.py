@@ -247,3 +247,48 @@ def test_sell_format_arrays_roundtrip_and_cpu():
     np.testing.assert_allclose(np.asarray(b.matvec(x.astype(np.float32))),
                                np.asarray(a.matvec(x.astype(np.float32))),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_sell_wins_on_banded_power_law():
+    """The matrix class where the σ-sort earns its place (round-1 verdict
+    item 3): scale-free row lengths + column locality.  SELL must sort,
+    stream strictly fewer bytes than ELL, and stay correct."""
+    info, r, c, v = synth.power_law(n=4096, avg_nnz_per_row=16,
+                                    bandwidth=256, seed=2)
+    ell = spmv_tpu.EllMatrix.from_coo(info.nrows, info.ncols, r, c, v)
+    sell = spmv_tpu.SellMatrix.from_coo(info.nrows, info.ncols, r, c, v)
+    assert sell.sorted_rows
+    assert (sell.plan.stream_bytes + sell.epilogue_bytes
+            < 0.75 * ell.plan.stream_bytes)
+    run_format("sell", info, r, c, v)
+    run_format("ell", info, r, c, v)
+
+
+def test_hyb_shape_choice_depends_on_matrix_class():
+    """HYB prices pure-panel / hybrid / pure-spill with the packed-engine
+    byte model + dispatch overhead and keeps the cheapest (round-1 verdict
+    item 9: the old single constant was tuned on one band matrix).  The
+    choice must change across structurally different classes, and stay
+    correct either way."""
+    from spmv_tpu.formats.hyb import HybMatrix
+
+    # band: segmented stream is strictly cheaper -> pure spill
+    info, r, c, v = synth.synthetic_cant(n=2048, avg_nnz_per_row=16,
+                                         bandwidth=100, seed=0)
+    a = HybMatrix.from_coo(info.nrows, info.ncols, r, c, v)
+    assert a.panel_nnz == 0 and a.spill_nnz == a.nnz
+    run_format("hyb", info, r, c, v)
+
+    # block-dense stripes: panels pad 1.0x and cost less per byte -> panel
+    n = 1024
+    rows = np.repeat(np.arange(n), 128)
+    cols = (rows // 128) * 128 + np.tile(np.arange(128), n)
+    vals = np.ones(rows.size)
+    b = HybMatrix.from_coo(n, n, rows, cols, vals)
+    assert b.spill_nnz == 0 and b.panel_nnz == b.nnz
+    x = np.random.default_rng(0).standard_normal(n).astype(np.float32)
+    rep = check_result(golden_spmv(n, rows, cols, vals, x),
+                       np.asarray(b.matvec(x)), tol_abs=1e-4,
+                       tol_rel=engine_rel_tol(128),
+                       scale=golden_spmv(n, rows, cols, vals, np.abs(x)))
+    assert rep.ok, str(rep)
