@@ -22,7 +22,6 @@ import numpy as np  # noqa: E402
 
 def main():
     import spmv_tpu
-    from spmv_tpu.bench.runner import bench_format, bytes_per_slot, measure_hbm_bw
     from spmv_tpu.io.mmio import read_path_or_synthesize
 
     path = os.environ.get("SPMV_MATRIX", "databases/cant.mtx")
@@ -36,20 +35,28 @@ def main():
           f"{' (SYNTHETIC cant-scale band; real cant.mtx unavailable)' if synthetic else ''}",
           file=sys.stderr)
 
-    try:
-        bw = measure_hbm_bw()
-        print(f"measured HBM BW: {bw/1e9:.0f} GB/s", file=sys.stderr)
-    except Exception as e:  # pragma: no cover
-        from spmv_tpu.bench.runner import V5E_HBM_BW as bw
-        print(f"BW probe failed ({e}); using spec {bw/1e9:.0f} GB/s", file=sys.stderr)
+    from spmv_tpu.bench.runner import bench_formats_interleaved
 
     results = {}
     best = None  # fastest format (Gnnz/s)
     min_eff = None  # WEAKEST per-format roofline % — BASELINE's gate
+    objs = {}
     for fmt in ["csr", "coo", "ell", "sell", "cmrs", "hyb"]:
         try:
-            a = spmv_tpu.from_coo(fmt, info.nrows, info.ncols, rows, cols, vals)
-            r = bench_format(a, fmt, hbm_bw=bw)
+            objs[fmt] = spmv_tpu.from_coo(fmt, info.nrows, info.ncols,
+                                          rows, cols, vals)
+        except Exception as e:  # pragma: no cover
+            print(f"{fmt}: FAILED {type(e).__name__}: {e}", file=sys.stderr)
+            results[fmt] = {"error": str(e)}
+            min_eff = 0.0
+    try:
+        # Interleaved timing rounds WITH the ceiling probe in the rotation:
+        # the chip is time-shared and drifts at the ~minute scale, so the
+        # roofline's numerator and denominator must sample the same
+        # contention windows.
+        bench_results, bw = bench_formats_interleaved(objs, probe=True)
+        print(f"measured HBM BW: {bw/1e9:.0f} GB/s", file=sys.stderr)
+        for fmt, r in bench_results.items():
             results[fmt] = r.to_dict()
             print(
                 f"{fmt:5s}: {r.ms_per_spmv:7.3f} ms  {r.gnnz_per_s:6.2f} Gnnz/s  "
@@ -61,10 +68,9 @@ def main():
             if best is None or r.gnnz_per_s > best.gnnz_per_s:
                 best = r
             min_eff = r.roofline_pct if min_eff is None else min(min_eff, r.roofline_pct)
-        except Exception as e:  # pragma: no cover
-            print(f"{fmt}: FAILED {type(e).__name__}: {e}", file=sys.stderr)
-            results[fmt] = {"error": str(e)}
-            min_eff = 0.0
+    except Exception as e:  # pragma: no cover
+        print(f"bench: FAILED {type(e).__name__}: {e}", file=sys.stderr)
+        min_eff = 0.0
 
     # Secondary matrix class: banded power-law (scale-free row lengths,
     # locality-ordered columns) — the class where SELL-C-σ's row sort
@@ -76,10 +82,12 @@ def main():
 
         pinfo, pr, pc, pv = synth.power_law(
             n=32768, avg_nnz_per_row=24, bandwidth=512, seed=0)
+        pobjs = {fmt: spmv_tpu.from_coo(fmt, pinfo.nrows, pinfo.ncols,
+                                        pr, pc, pv)
+                 for fmt in ["ell", "sell", "csr"]}
         pl_results = {}
-        for fmt in ["ell", "sell", "csr"]:
-            a = spmv_tpu.from_coo(fmt, pinfo.nrows, pinfo.ncols, pr, pc, pv)
-            r = bench_format(a, fmt, hbm_bw=bw)
+        pl_bench, _pl_bw = bench_formats_interleaved(pobjs, probe=True)
+        for fmt, r in pl_bench.items():
             pl_results[fmt] = r.to_dict()
             print(
                 f"power-law {fmt:5s}: {r.ms_per_spmv:7.3f} ms  "

@@ -1,0 +1,77 @@
+"""Geometry sweep for the packed segmented engine on the real bench
+matrix: (chunk, ns, kva) → measured streaming rate.  Drives the
+production plan/splitter/kernel end-to-end, so numbers transfer directly
+to `pick_geometry`/`seg_kva` defaults."""
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+import numpy as np
+
+
+class _W:
+    def __init__(self, dev):
+        self.dev = dev
+        self.nrows, self.ncols, self.nnz = dev.nrows, dev.ncols, dev.nnz
+
+    def padded_matvec(self, x2d):
+        from spmv_tpu.kernels.engines import segmented_spmv
+
+        return segmented_spmv(self.dev, x2d)
+
+
+def main():
+    import jax.numpy as jnp
+
+    from spmv_tpu import synth
+    from spmv_tpu.bench.runner import bench_format, measure_hbm_bw
+    from spmv_tpu.device import DevSeg, split_packed_arrays
+    from spmv_tpu.formats.base import build_seg_plan
+
+    info, r, c, v = synth.synthetic_cant(n=62464, avg_nnz_per_row=64,
+                                         bandwidth=350, seed=0)
+    plan = build_seg_plan(r, c, v, info.nrows, info.ncols)
+    print(f"plan: pack={plan.pack} TM={plan.vals.shape[0]} "
+          f"pad={plan.padding_ratio:.2f}", file=sys.stderr)
+    bw = measure_hbm_bw()
+    print(f"bw={bw/1e9:.0f} GB/s", file=sys.stderr)
+
+    geoms = [(256, 8, 2), (256, 8, 4), (512, 4, 2), (512, 4, 4),
+             (128, 16, 2), (256, 16, 2)]
+    if len(sys.argv) > 1:
+        geoms = [tuple(map(int, g.split(","))) for g in sys.argv[1:]]
+    for chunk, ns, kva in geoms:
+        try:
+            import spmv_tpu.device as dm
+            orig = dm.seg_kva
+            dm.seg_kva = lambda p, n: kva
+            try:
+                d = split_packed_arrays(
+                    {"vals": plan.vals, "lo": plan.lo, "hi": plan.hi,
+                     "gidx": plan.gidx, "sub_block": plan.sub_block,
+                     "sub_base": plan.sub_base}, chunk, ns, plan.pack,
+                    seg=True)
+            finally:
+                dm.seg_kva = orig
+            dev = DevSeg(
+                vals=tuple(jnp.asarray(d[f"vals{j}"])
+                           for j in range(plan.pack * kva)),
+                lo=tuple(jnp.asarray(d[f"lo{j}"])
+                         for j in range(plan.pack)),
+                hi=jnp.asarray(d["hi"]), gidx=jnp.asarray(d["gidx"]),
+                sub_block=jnp.asarray(d["sub_block"]),
+                sub_base=jnp.asarray(d["sub_base"]),
+                chunk=chunk, ns=ns, pack=plan.pack,
+                nrows=plan.nrows, ncols=plan.ncols, nnz=plan.nnz)
+            res = bench_format(_W(dev), f"c{chunk}n{ns}k{kva}", hbm_bw=bw)
+            print(f"chunk={chunk:4d} ns={ns:2d} kva={kva}: "
+                  f"{res.ms_per_spmv:7.3f} ms {res.gnnz_per_s:6.2f} Gnnz/s "
+                  f"{res.effective_gbps:5.0f} GB/s ({res.roofline_pct:.1f}%)")
+        except Exception as e:
+            print(f"chunk={chunk} ns={ns} kva={kva}: FAILED "
+                  f"{type(e).__name__}: {e}")
+
+
+if __name__ == "__main__":
+    main()

@@ -83,12 +83,13 @@ def _time_sharded(sh, x: np.ndarray, *, iters_a=20, iters_b=60,
     float(jnp.sum(fa(xf)))
     float(jnp.sum(fb(xf)))
     ta = tb = float("inf")
-    for _ in range(repeats):
+    for rep in range(repeats):
+        xr = xf + jnp.float32((rep + 1) * 1e-7)  # unique dispatch per repeat
         t0 = time.perf_counter()
-        float(jnp.sum(fa(xf)))
+        float(jnp.sum(fa(xr)))
         ta = min(ta, time.perf_counter() - t0)
         t0 = time.perf_counter()
-        float(jnp.sum(fb(xf)))
+        float(jnp.sum(fb(xr)))
         tb = min(tb, time.perf_counter() - t0)
     return max((tb - ta) / (iters_b - iters_a), 1e-9)
 

@@ -63,9 +63,11 @@ def pick_geometry(tm_rows: int) -> tuple[int, int]:
 
 
 def seg_kva(pack: int, ns: int) -> int:
-    """vals arrays per plane: keep ~8 value arrays total for DMA
-    concurrency, bounded by the sub-chunks per step."""
-    return max(min(8 // pack, ns), 1)
+    """vals arrays per plane: keep ~16 value arrays total for DMA
+    concurrency (the per-array ~67 GB/s cap scales with distinct arrays;
+    16 arrays measured ~+10-20% aggregate over 8 on the bench chip,
+    scripts/probe_geom.py), bounded by the sub-chunks per step."""
+    return max(min(16 // pack, ns), 1)
 
 
 def split_stream(x: np.ndarray, sc: int, k: int) -> tuple[np.ndarray, ...]:

@@ -10,9 +10,10 @@ Engine 2 ``segmented_spmv`` — CSR / COO / CMRS (vs ``Csr.cl``, ``Coo.cl``,
 
 Memory system (the measured constraint that shapes everything): the Pallas
 grid pipeline streams ~67 GB/s per input array but scales with distinct
-arrays, so each plan stream arrives pre-split into several interleaved
-device arrays (see ``spmv_tpu.device``); one grid step consumes a
-**superchunk** of ``KV·chunk`` sublane rows via 2·KV concurrent DMAs.
+arrays (in-engine aggregate ~530-690 GB/s at 12-14 arrays), so each plan
+stream arrives pre-split into several interleaved device arrays (see
+``spmv_tpu.device``); one grid step consumes a **superchunk** of
+``ns·chunk`` sublane rows over 13-14 concurrent DMAs.
 
 Compute per chunk, fused at chunk width (per-subtile (8,128) op streams
 measured ~4-7 cycles/op; chunk-wide ops pipeline properly):
@@ -89,9 +90,10 @@ def _rowsum_matrix(chunk: int):
                            rc < (rt + 1) * SUBLANES).astype(jnp.float32)
 
 
-def _chunk_slice(refs, k: int, kv: int, chunk: int):
-    """Sub-chunk k's rows from a stream split into len(refs) arrays."""
-    per = kv // len(refs)
+def _chunk_slice(refs, k: int, ns: int, chunk: int):
+    """Sub-chunk k's rows from a stream split into len(refs) arrays
+    (ns = sub-chunks per superchunk step)."""
+    per = ns // len(refs)
     r = refs[k // per]
     off = (k % per) * chunk
     return r[off : off + chunk, :]
