@@ -1,21 +1,27 @@
 """Benchmark harness.
 
 Replaces the reference's per-driver timing block (single run, no warm-up,
-``clock_gettime`` around one kernel enqueue, ``coo.c:193-199``) with an
-axon-proof protocol (docs/DESIGN.md §measured-facts):
+``clock_gettime`` around one kernel enqueue, ``coo.c:193-199``) with a
+protocol hardened against the tunnel's dispatch caching AND the chip
+being time-shared (docs/DESIGN.md §measured-facts):
 
-* ITERS chained SpMV iterations inside ONE jitted ``lax.fori_loop`` with a
-  data dependency (x ← y/|y|) — the tunnel caches identical dispatches and
-  ``block_until_ready`` does not force execution;
-* execution forced by fetching a scalar reduction of the result;
+* chained SpMV iterations inside ONE jitted ``lax.fori_loop`` with a data
+  dependency (x ← y/|y|); execution forced by fetching a scalar;
 * per-iteration time = slope between two iteration counts (subtracts the
-  ~25 ms dispatch round-trip);
-* best of ``repeats`` measurements.
+  dispatch round-trip), counts scaled adaptively to ≥ ~40 ms of device
+  work so jitter cannot swamp small matrices;
+* every dispatch made byte-unique (the tunnel caches identical ones), so
+  remaining noise is strictly additive and the slope of per-count MINIMA
+  over repeats is the robust estimator;
+* multi-format runs interleave all formats' timing rounds round-robin
+  (rotated order) WITH the HBM ceiling probe in the rotation, so the
+  roofline's numerator and denominator sample the same contention
+  windows.
 
 Reports both the reference-compatible metrics (GFLOP/s = 2·nnz/ms·1e-6 and
 the GB/s bounds of ``helper_functions.h:167-182``) and honest ones
-(effective GB/s counting index traffic and padding, % of measured HBM
-speed-of-light).
+(effective GB/s from exact device-array bytes, % of measured HBM
+speed-of-light, true-nnz speed-of-light %).
 """
 
 from __future__ import annotations
@@ -97,7 +103,8 @@ class _Prepared:
     work on a fixed ×4 ladder so jit caching holds.
     """
 
-    def __init__(self, a, format_name, iters_a, iters_b, x0=None):
+    def __init__(self, a, format_name, iters_a, iters_b, x0=None,
+                 adapt=True):
         self.a, self.format = a, format_name
         if x0 is None:
             x0 = np.random.default_rng(0).standard_normal(
@@ -108,7 +115,7 @@ class _Prepared:
         t0 = time.perf_counter()
         _fetch(fa(self.x2d))
         t_iter = max((time.perf_counter() - t0 - 0.010) / iters_a, 1e-7)
-        while iters_b * t_iter < 0.040 and iters_b < 16000:
+        while adapt and iters_b * t_iter < 0.040 and iters_b < 16000:
             iters_a *= 4
             iters_b *= 4
             fa = _chained_loop(a, iters_a)
@@ -232,6 +239,8 @@ def bench_formats_interleaved(
     repeats: int = 9,
     hbm_bw: float | None = None,
     probe: bool = False,
+    probe_mb: int = 128,
+    adapt: bool = True,
 ):
     """Bench several formats with their timing rounds interleaved
     round-robin, so every format samples the same chip-contention windows
@@ -241,9 +250,9 @@ def bench_formats_interleaved(
     With ``probe=True`` the HBM ceiling probe joins the rotation and the
     return value is ``(results, bw)`` with every result denominated
     against that co-sampled ceiling."""
-    preps = {name: _Prepared(a, name, iters_a, iters_b)
+    preps = {name: _Prepared(a, name, iters_a, iters_b, adapt=adapt)
              for name, a in objs.items()}
-    pp = _ProbePrepared() if probe else None
+    pp = _ProbePrepared(mb=probe_mb) if probe else None
     members = list(preps.values()) + ([pp] if pp is not None else [])
     for rep in range(repeats):
         # rotate the order every round: a fixed position in the round

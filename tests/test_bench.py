@@ -1,0 +1,91 @@
+"""Bench-harness plumbing on the CPU backend (timings are meaningless in
+interpret mode; these tests pin the protocol's structure: adaptive iter
+ladder, interleaved rounds, probe clamping, traffic accounting)."""
+
+import numpy as np
+import pytest
+
+import spmv_tpu
+from spmv_tpu import synth
+from spmv_tpu.bench.runner import (
+    V5E_HBM_BW,
+    bench_format,
+    bench_formats_interleaved,
+    bench_spmm,
+    bytes_per_slot,
+    traffic_model,
+)
+
+
+@pytest.fixture(scope="module")
+def small():
+    info, r, c, v = synth.synthetic_cant(n=600, avg_nnz_per_row=8,
+                                         bandwidth=40, seed=7)
+    return info, r, c, v
+
+
+def test_bench_format_structure(small):
+    info, r, c, v = small
+    a = spmv_tpu.from_coo("csr", info.nrows, info.ncols, r, c, v)
+    res = bench_format(a, "csr", repeats=2, iters_a=2, iters_b=4)
+    d = res.to_dict()
+    assert d["format"] == "csr" and d["nnz"] == r.size
+    assert d["ms_per_spmv"] > 0 and d["gnnz_per_s"] > 0
+    assert d["padded_slots"] >= d["nnz"]
+    # reference-compat formulas (helper_functions.h:167-182) hold exactly
+    ms = d["ms_per_spmv"]
+    assert d["gflops"] == pytest.approx(2 * d["nnz"] / ms * 1e-6)
+    assert d["gbps_lower"] == pytest.approx(d["nnz"] * 8 / ms * 1e-6)
+    assert d["gbps_upper"] == pytest.approx(2 * d["nnz"] * 8 / ms * 1e-6)
+
+
+def test_traffic_model_exact_bytes(small):
+    info, r, c, v = small
+    for fmt, streams in [("csr", "seg"), ("ell", "panel")]:
+        a = spmv_tpu.from_coo(fmt, info.nrows, info.ncols, r, c, v)
+        slots, total = traffic_model(a)
+        assert slots == a.dev.element_slots
+        assert total == a.dev.stream_bytes
+        bps = bytes_per_slot(a)
+        p = a.dev.pack
+        expected = (5 * p + 2) / p if streams == "seg" else (5 * p + 1) / p
+        assert bps == pytest.approx(expected)
+
+
+def test_traffic_model_counts_hyb_spill_and_sell_epilogue():
+    info, r, c, v = synth.power_law(n=2048, avg_nnz_per_row=16,
+                                    bandwidth=128, seed=3)
+    sell = spmv_tpu.from_coo("sell", info.nrows, info.ncols, r, c, v)
+    assert sell.sorted_rows
+    _, total = traffic_model(sell)
+    assert total == sell.dev.stream_bytes + sell.epilogue_bytes
+
+    hyb = spmv_tpu.from_coo("hyb", info.nrows, info.ncols, r, c, v)
+    _, total_h = traffic_model(hyb)
+    expected = float(hyb.dev.stream_bytes)
+    if hyb.dev_spill is not None:
+        expected += float(hyb.dev_spill.stream_bytes)
+    assert total_h == expected
+
+
+def test_interleaved_with_probe_returns_ceiling(small):
+    info, r, c, v = small
+    objs = {f: spmv_tpu.from_coo(f, info.nrows, info.ncols, r, c, v)
+            for f in ("csr", "ell")}
+    results, bw = bench_formats_interleaved(objs, repeats=2, iters_a=2,
+                                            iters_b=4, probe=True,
+                                            probe_mb=4, adapt=False)
+    assert set(results) == {"csr", "ell"}
+    assert 0 < bw <= V5E_HBM_BW  # clamped at the part's spec
+    for res in results.values():
+        assert res.ms_per_spmv > 0
+        assert res.hbm_bw_gbps == pytest.approx(bw / 1e9)
+
+
+def test_bench_spmm_structure(small):
+    info, r, c, v = small
+    a = spmv_tpu.from_coo("bsr", info.nrows, info.ncols, r, c, v)
+    d = bench_spmm(a, "bsr", 4, repeats=2, iters_a=2, iters_b=4)
+    assert d["rhs"] == 4 and d["gnnzvec_per_s"] > 0
+    assert d["gflops"] == pytest.approx(
+        2 * d["nnz"] * 4 / d["ms_per_spmm"] * 1e-6)
