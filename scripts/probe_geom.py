@@ -25,7 +25,7 @@ def main():
     import jax.numpy as jnp
 
     from spmv_tpu import synth
-    from spmv_tpu.bench.runner import bench_format, measure_hbm_bw
+    from spmv_tpu.bench.runner import bench_formats_interleaved
     from spmv_tpu.device import DevSeg, split_packed_arrays
     from spmv_tpu.formats.base import build_seg_plan
 
@@ -34,13 +34,12 @@ def main():
     plan = build_seg_plan(r, c, v, info.nrows, info.ncols)
     print(f"plan: pack={plan.pack} TM={plan.vals.shape[0]} "
           f"pad={plan.padding_ratio:.2f}", file=sys.stderr)
-    bw = measure_hbm_bw()
-    print(f"bw={bw/1e9:.0f} GB/s", file=sys.stderr)
 
     geoms = [(256, 8, 2), (256, 8, 4), (512, 4, 2), (512, 4, 4),
              (128, 16, 2), (256, 16, 2)]
     if len(sys.argv) > 1:
         geoms = [tuple(map(int, g.split(","))) for g in sys.argv[1:]]
+    objs = {}
     for chunk, ns, kva in geoms:
         try:
             import spmv_tpu.device as dm
@@ -64,13 +63,18 @@ def main():
                 sub_base=jnp.asarray(d["sub_base"]),
                 chunk=chunk, ns=ns, pack=plan.pack,
                 nrows=plan.nrows, ncols=plan.ncols, nnz=plan.nnz)
-            res = bench_format(_W(dev), f"c{chunk}n{ns}k{kva}", hbm_bw=bw)
-            print(f"chunk={chunk:4d} ns={ns:2d} kva={kva}: "
-                  f"{res.ms_per_spmv:7.3f} ms {res.gnnz_per_s:6.2f} Gnnz/s "
-                  f"{res.effective_gbps:5.0f} GB/s ({res.roofline_pct:.1f}%)")
+            objs[f"c{chunk}n{ns}k{kva}"] = _W(dev)
         except Exception as e:
-            print(f"chunk={chunk} ns={ns} kva={kva}: FAILED "
+            print(f"chunk={chunk} ns={ns} kva={kva}: BUILD FAILED "
                   f"{type(e).__name__}: {e}")
+    # interleaved so every geometry samples the same contention windows
+    results, bw = bench_formats_interleaved(objs, probe=True,
+                                            iters_a=200, iters_b=1000)
+    print(f"bw={bw/1e9:.0f} GB/s")
+    for name, res in results.items():
+        print(f"{name:14s}: {res.ms_per_spmv:7.3f} ms "
+              f"{res.gnnz_per_s:6.2f} Gnnz/s "
+              f"{res.effective_gbps:5.0f} GB/s ({res.roofline_pct:.1f}%)")
 
 
 if __name__ == "__main__":

@@ -5,8 +5,9 @@ Replaces the reference's per-driver timing block (single run, no warm-up,
 protocol hardened against the tunnel's dispatch caching AND the chip
 being time-shared (docs/DESIGN.md §measured-facts):
 
-* chained SpMV iterations inside ONE jitted ``lax.fori_loop`` with a data
-  dependency (x ← y/|y|); execution forced by fetching a scalar;
+* chained SpMV iterations inside ONE jitted ``lax.fori_loop`` with a
+  ~1 KB slice-update data dependency (x row 0 ← f(y)); execution forced
+  by fetching a scalar;
 * per-iteration time = slope between two iteration counts (subtracts the
   dispatch round-trip), counts scaled adaptively to ≥ ~40 ms of device
   work so jitter cannot swamp small matrices;
@@ -34,7 +35,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from spmv_tpu.device import x_table_rows, x_to_table
+from spmv_tpu.device import x_to_table
 from spmv_tpu.formats.base import LANES
 
 __all__ = ["BenchResult", "bench_format", "bench_formats_interleaved",
@@ -71,19 +72,20 @@ def _fetch(o) -> float:
 
 
 def _chained_loop(a, iters: int):
-    """One jitted function running `iters` chained SpMVs on padded forms."""
-    S = x_table_rows(a.ncols)
+    """One jitted function running `iters` chained SpMVs.
 
+    The inter-iteration data dependency (required: the tunnel caches
+    dispatches and reorders independent work) is a ~1 KB dynamic-slice
+    update of x's first table row from y — round 1 fed the full
+    normalized y back as x, an extra ~1.25 MB/iteration of elementwise
+    traffic that was billed to the kernel (~12 % of the segmented
+    engine's stream).  The reference times the bare kernel
+    (``coo.c:193-199``); so does this.
+    """
     def body(i, x2d):
         y = a.padded_matvec(x2d)  # (1, NB*128)
-        nrm = jax.lax.rsqrt(jnp.sum(y * y) + 1e-9)
-        yv = (y * nrm).reshape(-1)
-        need = S * LANES
-        if yv.shape[0] >= need:
-            yv = yv[:need]
-        else:
-            yv = jnp.pad(yv, (0, need - yv.shape[0]))
-        return yv.reshape(S, LANES)
+        probe_row = x2d[0:1, :] + y[0:1, :LANES] * 1e-38
+        return jax.lax.dynamic_update_slice(x2d, probe_row, (0, 0))
 
     @jax.jit
     def loop(x2d):
@@ -312,12 +314,10 @@ def bench_spmm(
         def loop(X):
             def body(i, X):
                 Y = spmm(a, X)
-                nrm = jax.lax.rsqrt(jnp.sum(Y * Y) + 1e-9)
-                Yn = Y * nrm
-                # feed back: (nrows, R) → (ncols, R)
-                if a.nrows >= a.ncols:
-                    return Yn[: a.ncols, :]
-                return jnp.pad(Yn, ((0, a.ncols - a.nrows), (0, 0)))
+                # ~R-element dependency instead of feeding back the whole
+                # normalized Y (see _chained_loop)
+                probe = X[0:1, :] + Y[0:1, :] * 1e-38
+                return jax.lax.dynamic_update_slice(X, probe, (0, 0))
             return jax.lax.fori_loop(0, iters, body, X)
         return loop
 

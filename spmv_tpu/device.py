@@ -36,7 +36,9 @@ from spmv_tpu.formats.base import (
 __all__ = ["DevPanel", "DevSeg", "x_table_rows", "x_to_table", "y_from_padded"]
 
 # (chunk, NS) choices, largest superchunk first.  SC = NS·chunk sublane rows.
-_GEOMETRIES = ((256, 8), (128, 4), (64, 2), (64, 1))
+# (128,16) measured marginally ahead of (256,8)/(512,4) in the interleaved
+# geometry sweep (scripts/probe_geom.py) at identical VMEM footprint.
+_GEOMETRIES = ((128, 16), (128, 4), (64, 2), (64, 1))
 
 # The engines keep the whole x table and the whole y in VMEM (~16 MB/core);
 # with the streamed double-buffered chunks (~4 MB) that bounds
