@@ -16,7 +16,7 @@ import jax.numpy as jnp
 
 from spmv_tpu.device import x_to_table, y_from_padded
 
-__all__ = ["cg", "power_iteration"]
+__all__ = ["bicgstab", "cg", "power_iteration"]
 
 
 def _matvec(a):
@@ -60,6 +60,54 @@ def cg(a, b, *, tol: float = 1e-5, maxiter: int = 1000, x0=None):
             return (x, r, p, rs_new, k + 1)
 
         x, r, _, rs, k = jax.lax.while_loop(cond, body, state)
+        return x, k, jnp.sqrt(rs)
+
+    x, k, res = run(b, x0)
+    return x, int(k), float(res)
+
+
+def bicgstab(a, b, *, tol: float = 1e-5, maxiter: int = 1000, x0=None):
+    """BiCGSTAB for general (nonsymmetric) square ``A``: returns
+    (x, iterations, residual).  One jitted ``lax.while_loop``; the van der
+    Vorst smoothing step needs two SpMVs per iteration, both fused into
+    the same device program."""
+    if a.nrows != a.ncols:
+        raise ValueError("bicgstab requires a square matrix")
+    mv = _matvec(a)
+    b = jnp.asarray(b, jnp.float32).reshape(-1)
+    if b.shape[0] != a.nrows:
+        raise ValueError(f"b has {b.shape[0]} entries, matrix is {a.nrows}")
+    x0 = jnp.zeros_like(b) if x0 is None else jnp.asarray(x0, jnp.float32)
+    eps = jnp.float32(1e-30)
+
+    @jax.jit
+    def run(b, x0):
+        r0 = b - mv(x0)
+        rhat = r0  # fixed shadow residual
+        state = (x0, r0, r0, jnp.vdot(rhat, r0), jnp.vdot(r0, r0),
+                 jnp.int32(0))
+        tol2 = jnp.float32(tol) ** 2 * jnp.maximum(jnp.vdot(b, b), 1e-30)
+
+        def cond(s):
+            *_, rs, k = s
+            return jnp.logical_and(rs > tol2, k < maxiter)
+
+        def body(s):
+            x, r, p, rho, _, k = s
+            v = mv(p)
+            alpha = rho / (jnp.vdot(rhat, v) + eps)
+            h = x + alpha * p
+            s_vec = r - alpha * v
+            t = mv(s_vec)
+            omega = jnp.vdot(t, s_vec) / (jnp.vdot(t, t) + eps)
+            x = h + omega * s_vec
+            r = s_vec - omega * t
+            rho_new = jnp.vdot(rhat, r)
+            beta = (rho_new / (rho + eps)) * (alpha / (omega + eps))
+            p = r + beta * (p - omega * v)
+            return (x, r, p, rho_new, jnp.vdot(r, r), k + 1)
+
+        x, r, _, _, rs, k = jax.lax.while_loop(cond, body, state)
         return x, k, jnp.sqrt(rs)
 
     x, k, res = run(b, x0)

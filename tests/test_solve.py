@@ -53,3 +53,31 @@ def test_power_iteration():
     lam_true = np.linalg.eigvalsh(A)[-1]
     assert abs(lam - lam_true) / lam_true < 1e-3, (lam, lam_true)
     assert np.asarray(vec).shape == (n,)
+
+
+def test_bicgstab_nonsymmetric():
+    """BiCGSTAB handles the general (nonsymmetric) systems CG cannot."""
+    from spmv_tpu.solve import bicgstab
+
+    n = 160
+    rng = np.random.default_rng(4)
+    i = np.arange(n)
+    # diagonally dominant, deliberately NONsymmetric band
+    rows = np.concatenate([i, i[:-1], i[1:], i[:-2]])
+    cols = np.concatenate([i, i[1:], i[:-1], i[2:]])
+    vals = np.concatenate([np.full(n, 5.0), np.full(n - 1, -1.3),
+                           np.full(n - 1, 0.7), np.full(n - 2, 0.4)])
+    a = spmv_tpu.from_coo("csr", n, n, rows, cols, vals)
+    b = rng.standard_normal(n).astype(np.float32)
+    x, k, res = bicgstab(a, b, tol=1e-6, maxiter=400)
+    A = np.zeros((n, n)); A[rows, cols] = vals
+    assert np.linalg.norm(A @ np.asarray(x, np.float64) - b) < 1e-3
+    assert 0 < k < 400
+
+
+def test_bicgstab_rejects_rectangular():
+    from spmv_tpu.solve import bicgstab
+
+    a = spmv_tpu.from_coo("csr", 4, 6, [0], [0], [1.0])
+    with pytest.raises(ValueError, match="square"):
+        bicgstab(a, np.ones(4))
