@@ -82,16 +82,30 @@ def _chained_loop(a, iters: int):
     engine's stream).  The reference times the bare kernel
     (``coo.c:193-199``); so does this.
     """
-    def body(i, x2d):
-        y = a.padded_matvec(x2d)  # (1, NB*128)
-        probe_row = x2d[0:1, :] + y[0:1, :LANES] * 1e-38
-        return jax.lax.dynamic_update_slice(x2d, probe_row, (0, 0))
+    import copy
+
+    # The device arrays must ride as jit ARGUMENTS: a closure would embed
+    # them as compile-payload constants, and the tunnel rejects payloads
+    # over ~100 MB (HTTP 413 — hit at 437 MB device arrays on a 50M-nnz
+    # matrix; DESIGN.md fact 6).
+    leaf_attrs = [n for n in ("dev", "dev_spill", "_perm_whi", "_perm_idx")
+                  if getattr(a, n, None) is not None]
+    leaves = [getattr(a, n) for n in leaf_attrs]
 
     @jax.jit
-    def loop(x2d):
+    def loop(x2d, *leaves):
+        b = copy.copy(a)
+        for n, v in zip(leaf_attrs, leaves):
+            object.__setattr__(b, n, v)
+
+        def body(i, x2d):
+            y = b.padded_matvec(x2d)  # (1, NB*128)
+            probe_row = x2d[0:1, :] + y[0:1, :LANES] * 1e-38
+            return jax.lax.dynamic_update_slice(x2d, probe_row, (0, 0))
+
         return jax.lax.fori_loop(0, iters, body, x2d)
 
-    return loop
+    return lambda x2d: loop(x2d, *leaves)
 
 
 class _Prepared:

@@ -40,14 +40,21 @@ __all__ = ["DevPanel", "DevSeg", "x_table_rows", "x_to_table", "y_from_padded"]
 # geometry sweep (scripts/probe_geom.py) at identical VMEM footprint.
 _GEOMETRIES = ((128, 16), (128, 4), (64, 2), (64, 1))
 
-# The engines keep the whole x table and the whole y in VMEM (~16 MB/core);
-# with the streamed double-buffered chunks (~4 MB) that bounds
-# 4·(nrows + ncols) on one chip.  Larger matrices must be sharded.
-_VMEM_VECTOR_BUDGET = 9 * 1024 * 1024
+# Scoped VMEM is 16 MB/core; the double-buffered stream blocks plus the
+# resident x table and y must fit with headroom for compute scratch.
+_VMEM_LIMIT = 14 * 1024 * 1024
+# Resident-vector cap = what the smallest geometry leaves free; beyond
+# this the matrix must be sharded.
+_VMEM_VECTOR_BUDGET = 12 * 1024 * 1024
+
+
+def _vector_bytes(nrows: int, ncols: int) -> int:
+    """VMEM-resident bytes of the padded x table + y."""
+    return 4 * (x_stripes(ncols) * LANES + cdiv(max(nrows, 1), LANES) * LANES)
 
 
 def _check_fits(nrows: int, ncols: int) -> None:
-    if 4 * (nrows + ncols) > _VMEM_VECTOR_BUDGET:
+    if _vector_bytes(nrows, ncols) > _VMEM_VECTOR_BUDGET:
         raise ValueError(
             f"matrix ({nrows} x {ncols}) exceeds the single-chip VMEM budget "
             f"for the whole-y/whole-x resident design (~"
@@ -56,10 +63,22 @@ def _check_fits(nrows: int, ncols: int) -> None:
             "RingShardedSpmv")
 
 
-def pick_geometry(tm_rows: int) -> tuple[int, int]:
-    """Largest (chunk, NS) whose superchunk keeps padding overhead small."""
+def pick_geometry(tm_rows: int, pack: int = 4, seg: bool = True,
+                  nrows: int = 0, ncols: int = 0) -> tuple[int, int]:
+    """Largest (chunk, NS) whose superchunk keeps padding overhead small
+    AND whose double-buffered stream blocks fit scoped VMEM next to the
+    resident x/y vectors (a 786k-row matrix passed the old vector-only
+    check, then OOMed compiling at 17 MB — the geometry must shrink as
+    the vectors grow)."""
+    vec = _vector_bytes(nrows, ncols)
+    # per-step stream bytes across all arrays, double-buffered:
+    # sc·128·(4P vals + P lo + hi + gidx) per superchunk of sc rows
+    bpq = (5 * pack + 2) if seg else (5 * pack + 1)
     for chunk, ns in _GEOMETRIES:
-        if tm_rows >= 2 * chunk * ns or (chunk, ns) == _GEOMETRIES[-1]:
+        stream = 2 * chunk * ns * LANES * bpq
+        if (chunk, ns) != _GEOMETRIES[-1] and tm_rows < 2 * chunk * ns:
+            continue
+        if stream + vec <= _VMEM_LIMIT or (chunk, ns) == _GEOMETRIES[-1]:
             return chunk, ns
     return _GEOMETRIES[-1]
 
@@ -132,7 +151,8 @@ class DevPanel:
         import jax.numpy as jnp
 
         _check_fits(p.nrows, p.ncols)
-        chunk, ns = pick_geometry(p.vals.shape[0])
+        chunk, ns = pick_geometry(p.vals.shape[0], p.pack, seg=False,
+                                  nrows=p.nrows, ncols=p.ncols)
         d = split_packed_arrays(
             {"vals": p.vals, "lo": p.lo, "hi": p.hi,
              "sub_block": p.sub_block, "sub_base": p.sub_base},
@@ -186,7 +206,8 @@ class DevSeg:
         import jax.numpy as jnp
 
         _check_fits(p.nrows, p.ncols)
-        chunk, ns = pick_geometry(p.vals.shape[0])
+        chunk, ns = pick_geometry(p.vals.shape[0], p.pack, seg=True,
+                                  nrows=p.nrows, ncols=p.ncols)
         d = split_packed_arrays(
             {"vals": p.vals, "lo": p.lo, "hi": p.hi, "gidx": p.gidx,
              "sub_block": p.sub_block, "sub_base": p.sub_base},

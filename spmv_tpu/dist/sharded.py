@@ -93,7 +93,8 @@ def _unify_plans(plans):
     pack = plans[0].pack
     names = ["vals", "lo", "hi"] + (["gidx"] if is_seg else [])
     tm = max(p.vals.shape[0] for p in plans)
-    chunk, ns = pick_geometry(tm)
+    chunk, ns = pick_geometry(tm, pack, seg=is_seg,
+                              nrows=plans[0].nrows, ncols=plans[0].ncols)
     stacked: dict[str, list] = {}
     for p in plans:
         arrays = {n: _pad_rows(getattr(p, n), tm) for n in names}

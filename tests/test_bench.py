@@ -89,3 +89,17 @@ def test_bench_spmm_structure(small):
     assert d["rhs"] == 4 and d["gnnzvec_per_s"] > 0
     assert d["gflops"] == pytest.approx(
         2 * d["nnz"] * 4 / d["ms_per_spmm"] * 1e-6)
+
+
+def test_pick_geometry_scales_with_resident_vectors():
+    """A 786k-row matrix passed the old vector-only VMEM check and then
+    OOMed Mosaic's 16MB scoped VMEM at compile time — the superchunk
+    geometry must shrink as the resident x/y vectors grow."""
+    from spmv_tpu.device import _VMEM_LIMIT, _vector_bytes, pick_geometry
+
+    small = pick_geometry(100_000, 4, seg=True, nrows=62464, ncols=62464)
+    big = pick_geometry(100_000, 4, seg=True, nrows=786432, ncols=786432)
+    assert small == (128, 16)
+    assert big[0] * big[1] < small[0] * small[1]
+    stream = 2 * big[0] * big[1] * 128 * 22
+    assert stream + _vector_bytes(786432, 786432) <= _VMEM_LIMIT
