@@ -233,20 +233,6 @@ class _ProbePrepared:
         return min(max(rw, rd), V5E_HBM_BW)
 
 
-def rescale_roofline(r: BenchResult, bw: float) -> BenchResult:
-    """Re-denominate a result against a ceiling measured separately (the
-    bench probes the ceiling before and after the timing rounds and takes
-    the max)."""
-    import dataclasses
-
-    return dataclasses.replace(
-        r,
-        roofline_pct=100.0 * r.effective_gbps * 1e9 / bw,
-        true_eff_pct=r.true_eff_pct * (r.hbm_bw_gbps * 1e9) / bw,
-        hbm_bw_gbps=bw / 1e9,
-    )
-
-
 def bench_formats_interleaved(
     objs: dict,
     *,
