@@ -68,7 +68,7 @@ def main():
         # iters sized for the ~60 µs/SpMV cant-scale kernels up front so
         # the adaptive ladder doesn't trigger extra compiles
         bench_results, bw = bench_formats_interleaved(
-            objs, probe=True, iters_a=200, iters_b=1000, repeats=14)
+            objs, probe=True, iters_a=200, iters_b=1000, repeats=20)
         print(f"measured HBM BW: {bw/1e9:.0f} GB/s", file=sys.stderr)
         for fmt, r in bench_results.items():
             results[fmt] = r.to_dict()
@@ -101,7 +101,7 @@ def main():
                  for fmt in ["ell", "sell", "csr"]}
         pl_results = {}
         pl_bench, _pl_bw = bench_formats_interleaved(
-            pobjs, probe=True, iters_a=400, iters_b=2000, repeats=12)
+            pobjs, probe=True, iters_a=400, iters_b=2000, repeats=16)
         for fmt, r in pl_bench.items():
             pl_results[fmt] = r.to_dict()
             print(
