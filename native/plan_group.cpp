@@ -1,51 +1,82 @@
-// Native greedy subtile grouping — the only per-element host loop in the
-// conversion path (see spmv_tpu/formats/base.py:_group_subtiles for the
+// Native greedy row placement — the only per-element host loop in the
+// conversion path (see spmv_tpu/formats/base.py:_emit_rows for the
 // reference semantics and the NumPy fallback).  The TPU framework's
 // counterpart of the reference's C conversion loops (coo.c:75-84,
 // csr.c:68-91, ell.c:68-164, sigma_c.c:71-204, cmrs.c:72-117), which are
 // per-element fscanf/format loops in C.
 //
-// Sublane rows arrive sorted by (block, stripe); consecutive rows join a
-// subtile while it has < 8 rows, they share the block, and the stripe span
-// stays < 8 (so the kernel's x window is one (8,128) slice).  Violations
-// close the subtile early with pad rows.
+// Sublane rows arrive sorted by (block, stripe).  Pad rows are inserted so
+// that (a) every aligned 8-row group's stripe min-max span stays < 8 (one
+// (8,128) x-table window per group) and (b) every aligned 128-row window's
+// block span stays < wcap (the streamed per-row y-window target is u8).
+// Pad rows replicate their predecessor's (block, stripe), which satisfies
+// both constraints by construction.  There is no block-purity requirement:
+// the engines reduce rows into a y window by the streamed target, so rows
+// of different y blocks share groups freely.
 
 #include <cstdint>
 
 namespace {
 constexpr int64_t kSublanes = 8;
-}
+constexpr int64_t kLanes = 128;
+
+inline int64_t mn(int64_t a, int64_t b) { return a < b ? a : b; }
+inline int64_t mx(int64_t a, int64_t b) { return a < b ? b : a; }
+}  // namespace
 
 extern "C" {
 
-int64_t spmv_plan_abi_version() { return 1; }
+int64_t spmv_plan_abi_version() { return 2; }
 
-// Returns the number of subtiles.  slot_out must hold n entries;
-// blocks_out/bases_out must hold at least n entries (ntiles <= n).
-int64_t spmv_group_subtiles(const int64_t* subrow_blk,
-                            const int64_t* subrow_stp, int64_t n, int64_t s_rows,
-                            int64_t* slot_out, int32_t* blocks_out,
-                            int32_t* bases_out) {
-  int64_t tile = -1;
-  int64_t count = kSublanes;  // force a new tile on the first subrow
-  int64_t cur_blk = -1;
-  int64_t base = 0;
-  for (int64_t i = 0; i < n; ++i) {
-    const int64_t b = subrow_blk[i];
-    const int64_t s = subrow_stp[i];
-    if (count == kSublanes || b != cur_blk || s - base >= kSublanes) {
-      ++tile;
-      count = 0;
-      cur_blk = b;
-      base = s;
-      blocks_out[tile] = static_cast<int32_t>(b);
-      const int64_t clamped = s < s_rows - kSublanes ? s : s_rows - kSublanes;
-      bases_out[tile] = static_cast<int32_t>(clamped < 0 ? 0 : clamped);
+// Places n subrows; writes the final row index of each into row_of and the
+// per-output-row (block, stripe) into out_blk/out_stp (capacity `cap`).
+// Returns the total emitted row count T (pads included, NOT rounded to 8).
+// If T would exceed cap, returns -T without writing beyond cap — callers
+// re-invoke with a large enough buffer.
+int64_t spmv_emit_rows(const int64_t* blk, const int64_t* stp, int64_t n,
+                       int64_t wcap, int64_t* row_of, int64_t* out_blk,
+                       int64_t* out_stp, int64_t cap) {
+  int64_t t = 0;
+  int64_t gmin = 0, gmax = 0, wmin = 0, wmax = 0;
+  bool overflow = false;
+  auto emit = [&](int64_t b, int64_t s) {
+    if (t < cap) {
+      out_blk[t] = b;
+      out_stp[t] = s;
+    } else {
+      overflow = true;
     }
-    slot_out[i] = tile * kSublanes + count;
-    ++count;
+    ++t;
+  };
+  for (int64_t i = 0; i < n; ++i) {
+    const int64_t b = blk[i];
+    const int64_t s = stp[i];
+    if ((t % kSublanes) && (mx(gmax, s) - mn(gmin, s) >= kSublanes)) {
+      const int64_t pb = out_blk[mn(t, cap) - 1];
+      const int64_t ps = out_stp[mn(t, cap) - 1];
+      while (t % kSublanes) emit(pb, ps);
+    }
+    if ((t % kLanes) && (mx(wmax, b) - mn(wmin, b) >= wcap)) {
+      const int64_t pb = out_blk[mn(t, cap) - 1];
+      const int64_t ps = out_stp[mn(t, cap) - 1];
+      while (t % kLanes) emit(pb, ps);
+    }
+    if (t % kSublanes == 0) {
+      gmin = gmax = s;
+    } else {
+      gmin = mn(gmin, s);
+      gmax = mx(gmax, s);
+    }
+    if (t % kLanes == 0) {
+      wmin = wmax = b;
+    } else {
+      wmin = mn(wmin, b);
+      wmax = mx(wmax, b);
+    }
+    row_of[i] = t;
+    emit(b, s);
   }
-  return tile + 1;
+  return overflow ? -t : t;
 }
 
 }  // extern "C"

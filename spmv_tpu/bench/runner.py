@@ -128,8 +128,11 @@ class _Prepared:
         self.x2d = x_to_table(x0, a.ncols)
         fa = _chained_loop(a, iters_a)
         _fetch(fa(self.x2d))  # compile
+        # the calibration dispatch must be byte-unique: repeating the
+        # compile dispatch verbatim hits the tunnel's dispatch cache and
+        # returns instantly, which would inflate iters to the 16000 cap
         t0 = time.perf_counter()
-        _fetch(fa(self.x2d))
+        _fetch(fa(self.x2d + jnp.float32(1e-9)))
         t_iter = max((time.perf_counter() - t0 - 0.010) / iters_a, 1e-7)
         while adapt and iters_b * t_iter < 0.040 and iters_b < 16000:
             iters_a *= 4
@@ -302,6 +305,8 @@ def bench_spmm(
     """Multi-RHS benchmark: Y = A @ X with X (ncols, R), same chained-loop
     slope protocol as ``bench_format``.  The natural citizen is BSR (one
     batched MXU matmul); other formats time R chained SpMVs."""
+    import copy
+
     import jax
 
     from spmv_tpu.api import spmm
@@ -309,17 +314,29 @@ def bench_spmm(
     rng = np.random.default_rng(0)
     X0 = jnp.asarray(rng.standard_normal((a.ncols, rhs)).astype(np.float32))
 
+    # As in _chained_loop: the container's device arrays must ride as jit
+    # ARGUMENTS — a closure would embed them as compile-payload constants,
+    # which the tunnel rejects above ~100 MB (DESIGN.md fact 6).
+    leaf_attrs = [n for n in ("dev", "dev_spill", "_perm_whi", "_perm_idx",
+                              "tiles", "tile_blk", "tile_stp")
+                  if getattr(a, n, None) is not None]
+    leaves = [getattr(a, n) for n in leaf_attrs]
+
     def chain(iters):
         @jax.jit
-        def loop(X):
+        def loop(X, *leaves):
+            b = copy.copy(a)
+            for n, v in zip(leaf_attrs, leaves):
+                object.__setattr__(b, n, v)
+
             def body(i, X):
-                Y = spmm(a, X)
+                Y = spmm(b, X)
                 # ~R-element dependency instead of feeding back the whole
                 # normalized Y (see _chained_loop)
                 probe = X[0:1, :] + Y[0:1, :] * 1e-38
                 return jax.lax.dynamic_update_slice(X, probe, (0, 0))
             return jax.lax.fori_loop(0, iters, body, X)
-        return loop
+        return lambda X: loop(X, *leaves)
 
     fa, fb = chain(iters_a), chain(iters_b)
     _fetch(fa(X0)); _fetch(fb(X0))

@@ -87,6 +87,31 @@ def _validate(info, rows, cols, vals, x, y, a=None) -> tuple[bool, str]:
     return rep.ok, str(rep)
 
 
+def _cpu_comparison(info, rows, cols, vals, x, a) -> None:
+    """Timed host-CPU SpMV next to the device verdict — reference parity
+    with ``compute_using_cpu`` + its GFLOP/s print (``coo.c:280-300``,
+    ``helper_functions.h:167-173``): an independent host implementation,
+    timed and validated against the same oracle."""
+    import time
+
+    def host_spmv():
+        y = np.zeros(info.nrows, dtype=np.float64)
+        np.add.at(y, np.asarray(rows, dtype=np.int64),
+                  np.asarray(vals, np.float64) * np.asarray(x, np.float64)[cols])
+        return y
+
+    host_spmv()  # warm caches / lazy imports, like the device warm-up
+    t0 = time.perf_counter()
+    y_cpu = host_spmv()
+    ms = max((time.perf_counter() - t0) * 1e3, 1e-6)
+    from spmv_tpu.oracle import check_result, golden_spmv
+
+    rep = check_result(golden_spmv(info.nrows, rows, cols, vals, x), y_cpu)
+    nnz = rows.size
+    print(f"CPU: {ms:.3f} ms  {2 * nnz / ms * 1e-6:.2f} GFLOP/s  "
+          f"({'ok' if rep.ok else 'WRONG'})")
+
+
 def cmd_run(args) -> int:
     import spmv_tpu
 
@@ -118,13 +143,22 @@ def cmd_run(args) -> int:
 
     if rhs > 1:
         ok = True
+        first_bad = None
         for j in range(rhs):
             okj, verdict = _validate(info, rows, cols, vals, X[:, j], Y[:, j], a)
+            if not okj and first_bad is None:
+                first_bad = (j, verdict)
             ok = ok and okj
-        print(f"{verdict}  [{rhs} right-hand sides]")
+        if first_bad is not None:
+            # report the first FAILING column, not whichever came last
+            print(f"{first_bad[1]}  [column {first_bad[0]} of {rhs} "
+                  "right-hand sides]")
+        else:
+            print(f"{verdict}  [{rhs} right-hand sides]")
     else:
         ok, verdict = _validate(info, rows, cols, vals, x, y, a)
         print(verdict)
+        _cpu_comparison(info, rows, cols, vals, x, a)
 
     if args.bench:
         if rhs > 1:

@@ -2,7 +2,7 @@
 
 The measured Pallas fact that shapes this module (see docs/DESIGN.md): the
 grid pipeline sustains only ~67 GB/s **per input array** on the bench TPU,
-while distinct arrays stream concurrently (~530-620 GB/s at 12-14 arrays
+while distinct arrays stream concurrently (~530-690 GB/s at 14-27 arrays
 in-engine).  Each plan stream is therefore interleaved into several
 separate device arrays; one grid step fetches one **superchunk**
 (``ns·chunk`` sublane rows) over the concurrent DMAs.
@@ -10,7 +10,13 @@ separate device arrays; one grid step fetches one **superchunk**
 Both engines consume P-packed streams (see ``formats.base``): per value
 plane ``kva`` f32 arrays (plane-major tuple), one u8 array per ``lo``
 plane, a single shared u8 ``hi`` array, plus u8 ``gidx`` for the
-segmented engine.
+segmented engine.  Round 3 adds the **windowed y-reduction** streams: a
+per-sub-chunk ``meta`` row carrying each sublane row's y-window target
+``w`` (u8) and a prefetched per-sub-chunk window ``base_w`` — the kernels
+reduce every row into a ``w_rows``-row y window with one data-dependent
+0/1 matmul and a single dynamic RMW per sub-chunk, replacing round 2's
+per-subtile accumulate loop (measured +80 GB/s on the segmented engine)
+and its block-purity padding.
 
 The containers are jax pytrees: the split arrays are leaves, the geometry
 is static aux data, so ``jit(spmv)(dev, x2d)`` specializes per geometry.
@@ -26,6 +32,8 @@ import numpy as np
 from spmv_tpu.formats.base import (
     LANES,
     SUBLANES,
+    W_ALIGN,
+    W_CAP,
     PanelPlan,
     SegPlan,
     cdiv,
@@ -35,10 +43,11 @@ from spmv_tpu.formats.base import (
 
 __all__ = ["DevPanel", "DevSeg", "x_table_rows", "x_to_table", "y_from_padded"]
 
-# (chunk, NS) choices, largest superchunk first.  SC = NS·chunk sublane rows.
-# (128,16) measured marginally ahead of (256,8)/(512,4) in the interleaved
-# geometry sweep (scripts/probe_geom.py) at identical VMEM footprint.
-_GEOMETRIES = ((128, 16), (128, 4), (64, 2), (64, 1))
+# (chunk, NS) choices.  SC = NS·chunk sublane rows per grid step.  The
+# round-2 sweep (scripts/probe_geom.py) measured (128,16)/(256,8)/(512,4)
+# within ±2% at identical VMEM footprint, so the pick minimizes superchunk
+# padding first and prefers the larger superchunk on ties.
+_GEOMETRIES = ((128, 16), (128, 8), (128, 4), (64, 2), (64, 1))
 
 # Scoped VMEM is 16 MB/core; the double-buffered stream blocks plus the
 # resident x table and y must fit with headroom for compute scratch.
@@ -65,22 +74,30 @@ def _check_fits(nrows: int, ncols: int) -> None:
 
 def pick_geometry(tm_rows: int, pack: int = 4, seg: bool = True,
                   nrows: int = 0, ncols: int = 0) -> tuple[int, int]:
-    """Largest (chunk, NS) whose superchunk keeps padding overhead small
-    AND whose double-buffered stream blocks fit scoped VMEM next to the
-    resident x/y vectors (a 786k-row matrix passed the old vector-only
-    check, then OOMed compiling at 17 MB — the geometry must shrink as
-    the vectors grow)."""
+    """(chunk, NS) minimizing superchunk padding among geometries whose
+    double-buffered stream blocks fit scoped VMEM next to the resident
+    x/y vectors (a 786k-row matrix passed the old vector-only check, then
+    OOMed compiling at 17 MB — the geometry must shrink as the vectors
+    grow; P=8 blocks at (128,16) measured 21.04M > the 16M limit)."""
     vec = _vector_bytes(nrows, ncols)
     # per-step stream bytes across all arrays, double-buffered:
-    # sc·128·(4P vals + P lo + hi + gidx) per superchunk of sc rows
+    # sc·128·(~5P+2 B/quad slot) per superchunk of sc rows
     bpq = (5 * pack + 2) if seg else (5 * pack + 1)
-    for chunk, ns in _GEOMETRIES:
-        stream = 2 * chunk * ns * LANES * bpq
-        if (chunk, ns) != _GEOMETRIES[-1] and tm_rows < 2 * chunk * ns:
-            continue
-        if stream + vec <= _VMEM_LIMIT or (chunk, ns) == _GEOMETRIES[-1]:
-            return chunk, ns
-    return _GEOMETRIES[-1]
+
+    def fits(chunk, ns):
+        return 2 * chunk * ns * LANES * bpq + vec <= _VMEM_LIMIT
+
+    # Full-concurrency tier: chunk 128, ns >= 4 keeps the 16-way value
+    # split (measured within ±2% of each other) — among those that fit
+    # VMEM, minimize superchunk padding, tie -> larger superchunk.
+    if tm_rows >= 512:
+        cands = [(round_up(max(tm_rows, c * n), c * n), -(c * n), (c, n))
+                 for c, n in _GEOMETRIES if c == 128 and fits(c, n)]
+        if cands:
+            return min(cands)[2]
+    # Tiny matrices (or VMEM squeezed by huge resident vectors): small
+    # superchunks; padding dominates concurrency at this scale.
+    return (64, 2) if tm_rows >= 128 and fits(64, 2) else (64, 1)
 
 
 def seg_kva(pack: int, ns: int) -> int:
@@ -106,12 +123,66 @@ def _pad_rows(x: np.ndarray, rows: int) -> np.ndarray:
     return np.pad(x, [(0, rows - x.shape[0])] + [(0, 0)] * (x.ndim - 1))
 
 
+def window_span(row_block: np.ndarray, tm: int, chunk: int) -> int:
+    """Max y-block span over the sub-chunks of a ``tm``-row stream — the
+    minimum window height the stream needs.  The dist layer computes this
+    per shard to pick ONE ``w_rows`` for the unified plans."""
+    rb = np.asarray(row_block, dtype=np.int64)
+    if rb.size < tm:
+        fill = rb[-1] if rb.size else 0
+        rb = np.concatenate([rb, np.full(tm - rb.size, fill, np.int64)])
+    rb2 = rb[:tm].reshape(-1, chunk)
+    return int((rb2.max(axis=1) - rb2.min(axis=1)).max()) + 1 if rb2.size else 1
+
+
+def window_meta(row_block: np.ndarray, tm: int, chunk: int, ns: int,
+                nrows: int, w_rows: int | None = None):
+    """Per-sub-chunk y-window metadata from the plan's per-row y block:
+    ``w[j, r] = row_block[j·chunk + r] − base_w[j]`` (u8, the plan bounds
+    every 128-aligned window's span below ``W_CAP``) and the static window
+    height ``w_rows`` (max span, rounded to whole sublane groups).
+
+    The meta stream is laid out ``round_up(ns,8)`` rows per grid step
+    (sub-chunk k of step i at row ``i·rps + k``) so the kernel's blocked
+    spec stays 8-row aligned and the in-kernel row index is static —
+    Mosaic rejects dynamic sublane offsets it cannot prove 8-aligned.
+    Returns ``(meta (nsteps·rps,128) u8, base_w (nsc,) i32, w_rows,
+    out_rows)``; ``out_rows ≥ NB`` so the dynamic ``ds(base_w, w_rows)``
+    RMW always lands in bounds (rows past NB accumulate only zeros)."""
+    NB = cdiv(max(nrows, 1), LANES)
+    rb = np.asarray(row_block, dtype=np.int64)
+    if rb.size < tm:  # trailing pads replicate the last row's block
+        fill = rb[-1] if rb.size else 0
+        rb = np.concatenate([rb, np.full(tm - rb.size, fill, np.int64)])
+    rb2 = rb[:tm].reshape(-1, chunk)
+    bmin = rb2.min(axis=1)
+    bmax = rb2.max(axis=1)
+    span = int((bmax - bmin).max()) + 1 if rb2.size else 1
+    assert span <= W_CAP
+    if w_rows is None:
+        w_rows = max(round_up(span, W_ALIGN), SUBLANES)
+    assert w_rows >= span
+    out_rows = max(NB, w_rows)
+    base = np.minimum(bmin, out_rows - w_rows)
+    w = rb2 - base[:, None]
+    assert w.min(initial=0) >= 0 and w.max(initial=0) < 256
+    nsc = rb2.shape[0]
+    rps = round_up(ns, SUBLANES)  # meta rows per grid step (8-aligned)
+    nsteps = nsc // ns
+    meta = np.zeros((nsteps, rps, LANES), dtype=np.uint8)
+    meta[:, :ns, :chunk] = w.astype(np.uint8).reshape(nsteps, ns, chunk)
+    return (meta.reshape(nsteps * rps, LANES), base.astype(np.int32),
+            w_rows, out_rows)
+
+
 def split_packed_arrays(arrays: dict, chunk: int, ns: int, pack: int,
-                        seg: bool) -> dict:
+                        seg: bool, nrows: int,
+                        w_rows: int | None = None) -> dict:
     """Packed-plan splitter: ``vals``/``lo`` are (TM, P, 128) plane stacks;
     plane pp of vals splits ``kva`` ways into ``vals{pp*kva+j}``, plane pp
     of lo becomes ``lo{pp}``, ``hi`` (and ``gidx`` for seg plans) stay
-    whole."""
+    whole; ``row_block`` becomes the windowed-reduction ``meta``/``base_w``
+    pair (see ``window_meta``)."""
     sc = chunk * ns
     tm = round_up(max(arrays["vals"].shape[0], sc), sc)
     kva = seg_kva(pack, ns)
@@ -126,9 +197,13 @@ def split_packed_arrays(arrays: dict, chunk: int, ns: int, pack: int,
     out["hi"] = _pad_rows(arrays["hi"], tm)
     if seg:
         out["gidx"] = _pad_rows(arrays["gidx"], tm)
-    nsub = tm // SUBLANES
-    out["sub_block"] = _pad_rows(arrays["sub_block"], nsub)
-    out["sub_base"] = _pad_rows(arrays["sub_base"], nsub)
+    meta, base_w, w_rows, out_rows = window_meta(
+        arrays["row_block"], tm, chunk, ns, nrows, w_rows)
+    out["meta"] = meta
+    out["base_w"] = base_w
+    out["w_rows"] = w_rows
+    out["out_rows"] = out_rows
+    out["sub_base"] = _pad_rows(arrays["sub_base"], tm // SUBLANES)
     return out
 
 
@@ -137,11 +212,14 @@ class DevPanel:
     vals: tuple  # P·kva × (TM/kva, 128) f32, plane-major
     lo: tuple  # P × (TM, 128) u8
     hi: object  # (TM, 128) u8
-    sub_block: object  # (TM/8,) i32
-    sub_base: object  # (TM/8,) i32
+    meta: object  # (TM/chunk, 128) u8 — per-row y-window target w
+    base_w: object  # (TM/chunk,) i32 — y-window base per sub-chunk
+    sub_base: object  # (TM/8,) i32 — x window base stripe per subtile
     chunk: int
     ns: int  # sub-chunks per superchunk step
     pack: int  # P — elements per quad slot
+    w_rows: int  # y-window height of the in-kernel reduction
+    out_rows: int  # rows of the padded (out_rows, 128) y
     nrows: int
     ncols: int
     nnz: int
@@ -155,17 +233,19 @@ class DevPanel:
                                   nrows=p.nrows, ncols=p.ncols)
         d = split_packed_arrays(
             {"vals": p.vals, "lo": p.lo, "hi": p.hi,
-             "sub_block": p.sub_block, "sub_base": p.sub_base},
-            chunk, ns, p.pack, seg=False)
+             "row_block": p.row_block, "sub_base": p.sub_base},
+            chunk, ns, p.pack, seg=False, nrows=p.nrows)
         kva = seg_kva(p.pack, ns)
         return cls(
             vals=tuple(jnp.asarray(d[f"vals{j}"])
                        for j in range(p.pack * kva)),
             lo=tuple(jnp.asarray(d[f"lo{j}"]) for j in range(p.pack)),
             hi=jnp.asarray(d["hi"]),
-            sub_block=jnp.asarray(d["sub_block"]),
+            meta=jnp.asarray(d["meta"]),
+            base_w=jnp.asarray(d["base_w"]),
             sub_base=jnp.asarray(d["sub_base"]),
             chunk=chunk, ns=ns, pack=p.pack,
+            w_rows=d["w_rows"], out_rows=d["out_rows"],
             nrows=p.nrows, ncols=p.ncols, nnz=p.nnz)
 
     @property
@@ -182,7 +262,7 @@ class DevPanel:
 
     @property
     def stream_bytes(self) -> int:
-        arrs = list(self.vals) + list(self.lo) + [self.hi]
+        arrs = list(self.vals) + list(self.lo) + [self.hi, self.meta]
         return sum(int(np.prod(a.shape)) * a.dtype.itemsize for a in arrs)
 
 
@@ -192,11 +272,14 @@ class DevSeg:
     lo: tuple  # P × (TM, 128) u8
     hi: object  # (TM, 128) u8
     gidx: object  # (TM, 128) u8 (filled running max)
-    sub_block: object  # (TM/8,) i32
+    meta: object  # (TM/chunk, 128) u8 — per-row y-window target w
+    base_w: object  # (TM/chunk,) i32 — y-window base per sub-chunk
     sub_base: object  # (TM/8,) i32
     chunk: int
     ns: int  # sub-chunks per superchunk step
     pack: int  # P — elements per quad slot
+    w_rows: int  # y-window height of the in-kernel reduction
+    out_rows: int  # rows of the padded (out_rows, 128) y
     nrows: int
     ncols: int
     nnz: int
@@ -210,8 +293,8 @@ class DevSeg:
                                   nrows=p.nrows, ncols=p.ncols)
         d = split_packed_arrays(
             {"vals": p.vals, "lo": p.lo, "hi": p.hi, "gidx": p.gidx,
-             "sub_block": p.sub_block, "sub_base": p.sub_base},
-            chunk, ns, p.pack, seg=True)
+             "row_block": p.row_block, "sub_base": p.sub_base},
+            chunk, ns, p.pack, seg=True, nrows=p.nrows)
         kva = seg_kva(p.pack, ns)
         return cls(
             vals=tuple(jnp.asarray(d[f"vals{j}"])
@@ -219,9 +302,11 @@ class DevSeg:
             lo=tuple(jnp.asarray(d[f"lo{j}"]) for j in range(p.pack)),
             hi=jnp.asarray(d["hi"]),
             gidx=jnp.asarray(d["gidx"]),
-            sub_block=jnp.asarray(d["sub_block"]),
+            meta=jnp.asarray(d["meta"]),
+            base_w=jnp.asarray(d["base_w"]),
             sub_base=jnp.asarray(d["sub_base"]),
             chunk=chunk, ns=ns, pack=p.pack,
+            w_rows=d["w_rows"], out_rows=d["out_rows"],
             nrows=p.nrows, ncols=p.ncols, nnz=p.nnz)
 
     @property
@@ -238,7 +323,8 @@ class DevSeg:
 
     @property
     def stream_bytes(self) -> int:
-        arrs = list(self.vals) + list(self.lo) + [self.hi, self.gidx]
+        arrs = list(self.vals) + list(self.lo) + [self.hi, self.gidx,
+                                                  self.meta]
         return sum(int(np.prod(a.shape)) * a.dtype.itemsize for a in arrs)
 
 
@@ -257,8 +343,10 @@ def _register(cls, statics):
     jax.tree_util.register_pytree_node(cls, flatten, unflatten)
 
 
-_register(DevPanel, ("chunk", "ns", "pack", "nrows", "ncols", "nnz"))
-_register(DevSeg, ("chunk", "ns", "pack", "nrows", "ncols", "nnz"))
+_STATICS = ("chunk", "ns", "pack", "w_rows", "out_rows", "nrows", "ncols",
+            "nnz")
+_register(DevPanel, _STATICS)
+_register(DevSeg, _STATICS)
 
 
 def x_table_rows(ncols: int) -> int:
@@ -282,5 +370,5 @@ def x_to_table(x, ncols: int):
 
 
 def y_from_padded(y2d, nrows: int):
-    """(1, NB*128) → (nrows,). jit-composable."""
+    """padded y (any 2-D layout) → (nrows,). jit-composable."""
     return y2d.reshape(-1)[:nrows]

@@ -71,14 +71,14 @@ class RingShardedSpmv:
                 shards.append(cls.from_coo(
                     rps, cps, rows[sel] - d * rps, cols[sel] - j * cps,
                     vals[sel], **fmt_kwargs))
-        arrays, chunk, ns, self.is_seg, pack = _unify_plans(
+        arrays, chunk, ns, self.is_seg, pack, w_rows, out_rows = _unify_plans(
             [s.plan for s in shards])
         # (D·D, ...) -> (D, D, ...): leading axis = device, second = block.
         arrays = {k: v.reshape(D, D, *v.shape[1:]) for k, v in arrays.items()}
         self.st = _ShardStatics(
             chunk=chunk, ns=ns, is_seg=self.is_seg, is_row=True,
             nrows=nrows, ncols=ncols, rows_per_shard=rps, n_shards=D,
-            pack=pack,
+            pack=pack, w_rows=w_rows, out_rows=out_rows,
         )
         self.rps, self.cps, self.D = rps, cps, D
         sharded = NamedSharding(mesh, P(self.axis))
@@ -107,14 +107,14 @@ class RingShardedSpmv:
                        for n in names}
                 dev = _make_dev(sub, st)
                 part = (segmented_spmv(dev, x2d) if st.is_seg
-                        else panel_spmv(dev, x2d))
+                        else panel_spmv(dev, x2d))[:nb]
                 y = y + part
                 # pass the block to the next device on the ring
                 x2d = jax.lax.ppermute(
                     x2d, axis, [(i, (i + 1) % D) for i in range(D)])
                 return x2d, y
 
-            y0 = jnp.zeros((1, nb * LANES), jnp.float32)
+            y0 = jnp.zeros((nb, LANES), jnp.float32)
             _, y = jax.lax.fori_loop(0, D, step, (x_blk[0], y0))
             return y
 

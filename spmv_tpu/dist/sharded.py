@@ -38,6 +38,7 @@ from spmv_tpu.device import (
     pick_geometry,
     seg_kva,
     split_packed_arrays,
+    window_span,
     x_table_rows,
 )
 from spmv_tpu.formats.base import (
@@ -84,9 +85,11 @@ def _pad_rows(arr: np.ndarray, target: int) -> np.ndarray:
 def _unify_plans(plans):
     """Pad per-shard plan arrays to one shape, pick a common device-stream
     geometry, split, and stack shard-major.  Pad rows are inert all-zero
-    subtiles (they accumulate 0 into block 0).  Seg plans must share one
-    pack P — the Spmv constructors choose it globally via ``seg_pack_for``
-    and pass it to every shard build."""
+    rows (they accumulate 0 into their window base).  Seg plans must share
+    one pack P — the Spmv constructors choose it globally via
+    ``seg_pack_for`` and pass it to every shard build; the windowed
+    y-reduction height ``w_rows`` is likewise the max over shards so one
+    jitted kernel serves every device."""
     is_seg = hasattr(plans[0], "gidx")
     packs = {p.pack for p in plans}
     assert len(packs) == 1, f"shards disagree on pack: {packs}"
@@ -95,16 +98,26 @@ def _unify_plans(plans):
     tm = max(p.vals.shape[0] for p in plans)
     chunk, ns = pick_geometry(tm, pack, seg=is_seg,
                               nrows=plans[0].nrows, ncols=plans[0].ncols)
+    tm_dev = round_up(max(tm, chunk * ns), chunk * ns)
+    from spmv_tpu.formats.base import SUBLANES, W_ALIGN
+
+    w_common = max(
+        round_up(max(window_span(p.row_block, tm_dev, chunk)
+                     for p in plans), W_ALIGN), SUBLANES)
     stacked: dict[str, list] = {}
+    statics = {}
     for p in plans:
         arrays = {n: _pad_rows(getattr(p, n), tm) for n in names}
-        arrays["sub_block"] = p.sub_block
+        arrays["row_block"] = p.row_block
         arrays["sub_base"] = p.sub_base
-        split = split_packed_arrays(arrays, chunk, ns, pack, seg=is_seg)
+        split = split_packed_arrays(arrays, chunk, ns, pack, seg=is_seg,
+                                    nrows=p.nrows, w_rows=w_common)
+        statics["w_rows"] = split.pop("w_rows")
+        statics["out_rows"] = split.pop("out_rows")
         for k, v in split.items():
             stacked.setdefault(k, []).append(v)
     return ({k: np.stack(v) for k, v in stacked.items()}, chunk, ns, is_seg,
-            pack)
+            pack, statics["w_rows"], statics["out_rows"])
 
 
 def _make_dev(arrays: dict, statics: "_ShardStatics"):
@@ -115,9 +128,10 @@ def _make_dev(arrays: dict, statics: "_ShardStatics"):
     ns, pack = statics.ns, statics.pack
     kva = seg_kva(pack, ns)
     common = dict(vals=tup("vals", pack * kva), lo=tup("lo", pack),
-                  hi=arrays["hi"],
-                  sub_block=arrays["sub_block"], sub_base=arrays["sub_base"],
+                  hi=arrays["hi"], meta=arrays["meta"],
+                  base_w=arrays["base_w"], sub_base=arrays["sub_base"],
                   chunk=statics.chunk, ns=ns, pack=pack,
+                  w_rows=statics.w_rows, out_rows=statics.out_rows,
                   nrows=statics.rows_per_shard if statics.is_row else statics.nrows,
                   ncols=statics.ncols, nnz=0)
     if statics.is_seg:
@@ -136,6 +150,8 @@ class _ShardStatics:
     rows_per_shard: int
     n_shards: int
     pack: int = 1
+    w_rows: int = 8
+    out_rows: int = 8
 
 
 class RowShardedSpmv:
@@ -187,7 +203,7 @@ class RowShardedSpmv:
                 cls.from_coo(rps, ncols, rows[sel] - lo, cols[sel], vals[sel],
                              **fmt_kwargs)
             )
-        arrays, chunk, ns, self.is_seg, pack = _unify_plans(
+        arrays, chunk, ns, self.is_seg, pack, w_rows, out_rows = _unify_plans(
             [s.plan for s in shards])
         self.st_spill = None
         if self.is_hyb:
@@ -198,12 +214,13 @@ class RowShardedSpmv:
             spill = [s.spill_plan if s.spill_plan is not None
                      else _empty_seg(rps, ncols, chunk, fmt_kwargs["pack"])
                      for s in shards]
-            sp_arrays, sp_chunk, sp_ns, _, sp_pack = _unify_plans(spill)
+            (sp_arrays, sp_chunk, sp_ns, _, sp_pack, sp_w,
+             sp_out) = _unify_plans(spill)
             arrays.update({f"sp_{k}": v for k, v in sp_arrays.items()})
             self.st_spill = _ShardStatics(
                 chunk=sp_chunk, ns=sp_ns, is_seg=True, is_row=True,
                 nrows=nrows, ncols=ncols, rows_per_shard=rps, n_shards=D,
-                pack=sp_pack,
+                pack=sp_pack, w_rows=sp_w, out_rows=sp_out,
             )
         if self.is_sell:
             # per-shard epilogue metadata: every shard has the same row
@@ -215,7 +232,7 @@ class RowShardedSpmv:
         self.st = _ShardStatics(
             chunk=chunk, ns=ns, is_seg=self.is_seg, is_row=True,
             nrows=nrows, ncols=ncols, rows_per_shard=rps, n_shards=D,
-            pack=pack,
+            pack=pack, w_rows=w_rows, out_rows=out_rows,
         )
         self.gather_x = gather_x
         sharded = NamedSharding(mesh, P(self.axis))
@@ -244,13 +261,22 @@ class RowShardedSpmv:
                 x2d = x_local
             dev = _make_dev(a, st)
             if st.is_seg:
-                return segmented_spmv(dev, x2d)
+                # slice to the shard's true blocks: out_rows ≥ nb and the
+                # shards concatenate along rows in the global y
+                return segmented_spmv(dev, x2d)[:nb]
             y = panel_spmv(dev, x2d)
             if st_spill is not None:  # HYB: add the segmented spill partial
                 sp = {k[3:]: v for k, v in a.items() if k.startswith("sp_")}
-                y = y + segmented_spmv(_make_dev(sp, st_spill), x2d)
+                ys = segmented_spmv(_make_dev(sp, st_spill), x2d)
+                n = max(y.shape[0], ys.shape[0])
+                if y.shape[0] < n:
+                    y = jnp.pad(y, ((0, n - y.shape[0]), (0, 0)))
+                if ys.shape[0] < n:
+                    ys = jnp.pad(ys, ((0, n - ys.shape[0]), (0, 0)))
+                y = y + ys
+            y = y[:nb]
             if is_sell:
-                y2 = y.reshape(nb, LANES)
+                y2 = y
                 if nb < 8:  # epilogue windows always slice 8 table rows
                     y2 = jnp.pad(y2, ((0, 8 - nb), (0, 0)))
                 y = inverse_permute_blocks(a["perm_whi"], a["perm_idx"],
@@ -320,12 +346,12 @@ class ColShardedSpmv:
                 cls.from_coo(nrows, cps, rows[sel], cols[sel] - lo, vals[sel],
                              **fmt_kwargs)
             )
-        arrays, chunk, ns, self.is_seg, pack = _unify_plans(
+        arrays, chunk, ns, self.is_seg, pack, w_rows, out_rows = _unify_plans(
             [s.plan for s in shards])
         self.st = _ShardStatics(
             chunk=chunk, ns=ns, is_seg=self.is_seg, is_row=False,
             nrows=nrows, ncols=ncols, rows_per_shard=cps, n_shards=D,
-            pack=pack,
+            pack=pack, w_rows=w_rows, out_rows=out_rows,
         )
         sharded = NamedSharding(mesh, P(self.axis))
         self.arrays = {

@@ -42,6 +42,8 @@ LANES = 128  # y rows per block / x cols per stripe; the lane dimension
 SUBLANES = 8  # sublane rows per subtile; also the x-window height
 ROW_CAP = LANES - 1  # real elements per seg sublane row (lane 0 = zero pad)
 DEFAULT_CHUNK = 64  # sublane rows fetched per grid step (8 subtiles)
+W_CAP = 256  # max y-block span per aligned 128-row stream window (u8 w)
+W_ALIGN = 8  # y windows round to whole sublane groups
 
 
 def cdiv(a: int, b: int) -> int:
@@ -71,7 +73,7 @@ class PanelPlan:
     vals: np.ndarray  # (TR, P, 128) f32 — value planes
     lo: np.ndarray  # (TR, P, 128) u8 — in-stripe column per plane
     hi: np.ndarray  # (TR, 128) u8 — stripe offset, uniform per sublane row
-    sub_block: np.ndarray  # (TR//8,) i32 — y block per subtile
+    row_block: np.ndarray  # (TR,) i32 — y block per sublane row
     sub_base: np.ndarray  # (TR//8,) i32 — x window base stripe per subtile
     nrows: int
     ncols: int
@@ -118,7 +120,7 @@ class SegPlan:
     lo: np.ndarray  # (TM, P, 128) u8 — in-stripe column per plane
     hi: np.ndarray  # (TM, 128) u8 — stripe offset, uniform per sublane row
     gidx: np.ndarray  # (TM, 128) u8 — filled last-quad-position running max
-    sub_block: np.ndarray  # (TM//8,) i32
+    row_block: np.ndarray  # (TM,) i32 — y block per sublane row
     sub_base: np.ndarray  # (TM//8,) i32
     nrows: int
     ncols: int
@@ -142,57 +144,84 @@ class SegPlan:
                 + self.gidx.nbytes)
 
 
-def _group_subtiles(subrow_blk: np.ndarray, subrow_stp: np.ndarray, S: int,
-                    chunk: int):
-    """Greedy subtile grouping of the ordered sublane-row stream.
+def _emit_rows(subrow_blk: np.ndarray, subrow_stp: np.ndarray, S: int,
+               chunk: int):
+    """Place the ordered sublane-row stream, inserting pad rows so that
 
-    Subrows arrive sorted by (block, stripe).  Consecutive subrows join a
-    subtile while (a) it has < 8 rows, (b) they share the block, and
-    (c) the stripe span stays < 8 (so the in-kernel window is one (8,128)
-    slice of the x table).  Violations close the subtile early with pad
-    rows.
+    (a) every aligned 8-row group's **stripes** fit one (8,128) window of
+        the x table (min-max span < 8 — the exactness condition of the
+        in-kernel two-step gather); there is NO block-purity requirement:
+        the windowed y-reduction (``kernels.engines``) sums rows by their
+        streamed ``w`` target, so rows of different y blocks share groups
+        freely (round-2's block-pure subtiles cost ×1.7 padding on
+        scattered matrices);
+    (b) every aligned 128-row window's **block** span stays < ``W_CAP``
+        (the streamed per-row window target ``w`` is u8).
 
-    Returns (slot_of_subrow (n,), sub_block (nsub,), sub_base (nsub,), TM)
-    where TM = nsub·8 rounded up to ``chunk``.
+    Subrows arrive sorted by (block, stripe); rows of one (block, stripe)
+    run are identical, so pads only appear at run boundaries.  Returns
+    ``(row_of_subrow (n,), row_blk (TM,), row_stp (TM,), sub_base
+    (TM//8,), TM)`` with TM a multiple of ``chunk``; pad rows replicate
+    their predecessor's (block, stripe) so every constraint still holds.
 
-    The per-subrow loop runs in C++ when ``native/plan_group.cpp`` is
-    available (identical semantics; ~100× faster on 100M-nnz matrices).
+    The per-subrow loop runs in C++ when ``native/plan_group.cpp``
+    provides ``emit_rows`` (identical semantics, for 100M-nnz matrices).
     """
     from spmv_tpu.formats import native_group
 
     n = subrow_blk.size
-    nat = native_group.group_subtiles(subrow_blk, subrow_stp, S)
+    nat = native_group.emit_rows(subrow_blk, subrow_stp, W_CAP)
     if nat is not None:
-        slot, blocks, bases, ntiles = nat
+        row_of, out_blk, out_stp = nat
     else:
-        slot = np.empty(n, dtype=np.int64)
-        blocks_l: list[int] = []
-        bases_l: list[int] = []
-        tile = -1
-        count = SUBLANES  # force a new tile on the first subrow
-        cur_blk = -1
-        base = 0
+        row_of = np.empty(n, dtype=np.int64)
+        out_blk: list[int] = []
+        out_stp: list[int] = []
+        gmin = gmax = wmin = wmax = 0
         for i in range(n):
             b, s = int(subrow_blk[i]), int(subrow_stp[i])
-            if count == SUBLANES or b != cur_blk or s - base >= SUBLANES:
-                tile += 1
-                count = 0
-                cur_blk = b
-                base = s
-                blocks_l.append(b)
-                bases_l.append(min(s, S - SUBLANES))
-            slot[i] = tile * SUBLANES + count
-            count += 1
-        ntiles = tile + 1
-        blocks, bases = blocks_l, bases_l
-    ntiles = max(ntiles, 1)
-    TM = round_up(ntiles * SUBLANES, chunk)
-    nsub = TM // SUBLANES
-    sub_block = np.zeros(nsub, dtype=np.int32)
-    sub_base = np.zeros(nsub, dtype=np.int32)
-    sub_block[: len(blocks)] = blocks
-    sub_base[: len(bases)] = bases
-    return slot, sub_block, sub_base, TM
+            t = len(out_blk)
+            if t % SUBLANES and (max(gmax, s) - min(gmin, s) >= SUBLANES):
+                pb, ps = out_blk[-1], out_stp[-1]
+                while len(out_blk) % SUBLANES:
+                    out_blk.append(pb)
+                    out_stp.append(ps)
+            t = len(out_blk)
+            if t % LANES and (max(wmax, b) - min(wmin, b) >= W_CAP):
+                pb, ps = out_blk[-1], out_stp[-1]
+                while len(out_blk) % LANES:
+                    out_blk.append(pb)
+                    out_stp.append(ps)
+            t = len(out_blk)
+            if t % SUBLANES == 0:
+                gmin = gmax = s
+            else:
+                gmin, gmax = min(gmin, s), max(gmax, s)
+            if t % LANES == 0:
+                wmin = wmax = b
+            else:
+                wmin, wmax = min(wmin, b), max(wmax, b)
+            row_of[i] = t
+            out_blk.append(b)
+            out_stp.append(s)
+        out_blk = np.asarray(out_blk, dtype=np.int64)
+        out_stp = np.asarray(out_stp, dtype=np.int64)
+
+    T = max(out_blk.size, 1)
+    TM = round_up(T, max(chunk, SUBLANES))
+    row_blk = np.zeros(TM, dtype=np.int32)
+    row_stp = np.zeros(TM, dtype=np.int32)
+    if out_blk.size:
+        row_blk[: out_blk.size] = out_blk
+        row_stp[: out_stp.size] = out_stp
+        # trailing pads replicate the last row (keeps the block span of the
+        # tail window tight and the stripe in range)
+        row_blk[out_blk.size :] = out_blk[-1]
+        row_stp[out_stp.size :] = out_stp[-1]
+    sub_base = np.minimum(
+        row_stp.reshape(-1, SUBLANES).min(axis=1),
+        max(S - SUBLANES, 0)).astype(np.int32)
+    return row_of, row_blk, row_stp, sub_base, TM
 
 
 def _run_heads(keys: np.ndarray):
@@ -210,7 +239,7 @@ def _empty_panel(nrows, ncols, chunk, pack: int = 1) -> PanelPlan:
         vals=np.zeros((chunk, pack, LANES), np.float32),
         lo=np.zeros((chunk, pack, LANES), np.uint8),
         hi=np.zeros((chunk, LANES), np.uint8),
-        sub_block=np.zeros(chunk // SUBLANES, np.int32),
+        row_block=np.zeros(chunk, np.int32),
         sub_base=np.zeros(chunk // SUBLANES, np.int32),
         nrows=nrows, ncols=ncols, nnz=0, chunk=chunk, pack=pack,
     )
@@ -222,7 +251,7 @@ def _empty_seg(nrows, ncols, chunk, pack: int = 1) -> SegPlan:
         lo=np.zeros((chunk, pack, LANES), np.uint8),
         hi=np.zeros((chunk, LANES), np.uint8),
         gidx=np.zeros((chunk, LANES), np.uint8),
-        sub_block=np.zeros(chunk // SUBLANES, np.int32),
+        row_block=np.zeros(chunk, np.int32),
         sub_base=np.zeros(chunk // SUBLANES, np.int32),
         nrows=nrows, ncols=ncols, nnz=0, chunk=chunk, pack=pack,
     )
@@ -321,7 +350,7 @@ def build_seg_plan(
     nnz = rows.size
     if nnz == 0:
         return _empty_seg(nrows, ncols, chunk, pack or 1)
-    hit = _cache.plan_lookup("seg2", rows, cols, vals, nrows, ncols,
+    hit = _cache.plan_lookup("seg3", rows, cols, vals, nrows, ncols,
                              (chunk, pack or 0), SegPlan)
     if hit is not None:
         return hit
@@ -366,9 +395,9 @@ def build_seg_plan(
     subrow_blk = np.repeat(blk[run_head_elem], run_nsub)
     subrow_stp = np.repeat(stp[run_head_elem], run_nsub)
 
-    slot, sub_block, sub_base, TM = _group_subtiles(
+    row_of, row_blk, row_stp, sub_base, TM = _emit_rows(
         subrow_blk, subrow_stp, S, chunk)
-    quad_row = slot[quad_subrow]  # final sublane row of each quad
+    quad_row = row_of[quad_subrow]  # final sublane row of each quad
 
     # Element placement: rank k within its segment → quad k//P, plane k%P.
     seg_estarts = np.zeros(nseg + 1, dtype=np.int64)
@@ -385,11 +414,12 @@ def build_seg_plan(
     lo3d[erow, plane, epos] = (c & (LANES - 1)).astype(np.uint8)
     # hi is uniform per sublane row (the two-step gather's exactness
     # condition) — pad slots carry the row's hi too.
-    hi2d = np.zeros((TM, LANES), dtype=np.uint8)
-    row_hi = subrow_stp - sub_base[slot // SUBLANES].astype(np.int64)
+    row_hi = (row_stp.astype(np.int64)
+              - sub_base[np.arange(TM) // SUBLANES].astype(np.int64))
     assert row_hi.size == 0 or (0 <= row_hi.min()
                                 and row_hi.max() < SUBLANES)
-    hi2d[slot, :] = row_hi.astype(np.uint8)[:, None]
+    hi2d = np.ascontiguousarray(
+        np.broadcast_to(row_hi.astype(np.uint8)[:, None], (TM, LANES)))
 
     # Filled gidx: per (sublane row, lid) the last quad position, then a
     # running max along lanes (absent lids inherit the previous segment's
@@ -405,10 +435,10 @@ def build_seg_plan(
 
     plan = SegPlan(
         vals=v3d, lo=lo3d, hi=hi2d, gidx=gidx,
-        sub_block=sub_block, sub_base=sub_base,
+        row_block=row_blk, sub_base=sub_base,
         nrows=nrows, ncols=ncols, nnz=nnz, chunk=chunk, pack=P,
     )
-    _cache.plan_store("seg2", rows, cols, vals, nrows, ncols,
+    _cache.plan_store("seg3", rows, cols, vals, nrows, ncols,
                       (chunk, pack or 0), plan)
     return plan
 
@@ -441,7 +471,7 @@ def build_panel_plan(
     nnz = rows.size
     if nnz == 0:
         return _empty_panel(nrows, ncols, chunk, pack or 1)
-    hit = _cache.plan_lookup("panel2", rows, cols, vals, nrows, ncols,
+    hit = _cache.plan_lookup("panel3", rows, cols, vals, nrows, ncols,
                              (chunk, pack or 0), PanelPlan)
     if hit is not None:
         return hit
@@ -482,9 +512,9 @@ def build_panel_plan(
     subrow_blk = np.repeat(blk[heads], K_q)
     subrow_stp = np.repeat(stp[heads], K_q)
 
-    slot, sub_block, sub_base, TR = _group_subtiles(
+    row_of, row_blk, row_stp, sub_base, TR = _emit_rows(
         subrow_blk, subrow_stp, S, chunk)
-    final_row = slot[elem_subrow]
+    final_row = row_of[elem_subrow]
     lane = r & (LANES - 1)
 
     v3d = np.zeros((TR, P, LANES), dtype=dtype)
@@ -492,16 +522,17 @@ def build_panel_plan(
     v3d[final_row, plane, lane] = v
     lo3d[final_row, plane, lane] = (c & (LANES - 1)).astype(np.uint8)
     # hi is uniform per sublane row (gather exactness) — pads included.
-    hi2d = np.zeros((TR, LANES), dtype=np.uint8)
-    row_hi = subrow_stp - sub_base[slot // SUBLANES].astype(np.int64)
+    row_hi = (row_stp.astype(np.int64)
+              - sub_base[np.arange(TR) // SUBLANES].astype(np.int64))
     assert row_hi.size == 0 or (0 <= row_hi.min()
                                 and row_hi.max() < SUBLANES)
-    hi2d[slot, :] = row_hi.astype(np.uint8)[:, None]
+    hi2d = np.ascontiguousarray(
+        np.broadcast_to(row_hi.astype(np.uint8)[:, None], (TR, LANES)))
 
     plan = PanelPlan(
-        vals=v3d, lo=lo3d, hi=hi2d, sub_block=sub_block, sub_base=sub_base,
+        vals=v3d, lo=lo3d, hi=hi2d, row_block=row_blk, sub_base=sub_base,
         nrows=nrows, ncols=ncols, nnz=nnz, chunk=chunk, pack=P,
     )
-    _cache.plan_store("panel2", rows, cols, vals, nrows, ncols,
+    _cache.plan_store("panel3", rows, cols, vals, nrows, ncols,
                       (chunk, pack or 0), plan)
     return plan

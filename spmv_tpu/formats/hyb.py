@@ -23,7 +23,8 @@ artifact of the then-unpacked segmented engine running at 59 % of
 roofline; re-swept in round 2 on the packed engines).
 
 ``matvec`` runs the chosen engines and adds the padded partial results —
-both produce (1, out_blocks·128), so the combination is one fused XLA add.
+both produce row-padded (out_rows, 128) y tables, so the combination is
+one fused XLA add.
 """
 
 from __future__ import annotations
@@ -184,7 +185,18 @@ class HybMatrix:
         if self.panel_nnz == 0:
             # pure-spill shape: don't pay a dispatch for an empty panel
             return segmented_spmv(self.dev_spill, x2d)
-        return panel_spmv(self.dev, x2d) + segmented_spmv(self.dev_spill, x2d)
+        yp = panel_spmv(self.dev, x2d)
+        ys = segmented_spmv(self.dev_spill, x2d)
+        # the two engines' padded y row counts may differ (independent
+        # window heights); rows past the true blocks are zero either way
+        import jax.numpy as jnp
+
+        n = max(yp.shape[0], ys.shape[0])
+        if yp.shape[0] < n:
+            yp = jnp.pad(yp, ((0, n - yp.shape[0]), (0, 0)))
+        if ys.shape[0] < n:
+            ys = jnp.pad(ys, ((0, n - ys.shape[0]), (0, 0)))
+        return yp + ys
 
     def matvec(self, x):
         x2d = x_to_table(x, self.ncols)

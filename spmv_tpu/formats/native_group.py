@@ -1,6 +1,6 @@
-"""ctypes binding to the native C++ subtile grouping
+"""ctypes binding to the native C++ row placement
 (``native/plan_group.cpp``) with transparent build + pure-NumPy fallback
-(the Python loop in ``formats.base._group_subtiles``).
+(the Python loop in ``formats.base._emit_rows``).
 
 Set ``SPMV_TPU_NO_NATIVE=1`` to force the fallback.
 """
@@ -13,7 +13,7 @@ import subprocess
 
 import numpy as np
 
-__all__ = ["available", "group_subtiles"]
+__all__ = ["available", "emit_rows"]
 
 _NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(
     os.path.dirname(os.path.abspath(__file__)))), "native")
@@ -46,14 +46,14 @@ def _load():
     try:
         lib = ctypes.CDLL(_SO)
         lib.spmv_plan_abi_version.restype = ctypes.c_int64
-        if lib.spmv_plan_abi_version() != 1:
+        if lib.spmv_plan_abi_version() != 2:
             return None
-        lib.spmv_group_subtiles.restype = ctypes.c_int64
-        lib.spmv_group_subtiles.argtypes = [
+        lib.spmv_emit_rows.restype = ctypes.c_int64
+        lib.spmv_emit_rows.argtypes = [
             ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
             ctypes.c_int64, ctypes.c_int64,
-            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int32),
-            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
         ]
         _lib = lib
     except OSError:
@@ -65,8 +65,8 @@ def available() -> bool:
     return _load() is not None
 
 
-def group_subtiles(subrow_blk: np.ndarray, subrow_stp: np.ndarray, S: int):
-    """Native greedy grouping; returns (slot, blocks, bases, ntiles) or
+def emit_rows(subrow_blk: np.ndarray, subrow_stp: np.ndarray, wcap: int):
+    """Native greedy row placement; returns (row_of, out_blk, out_stp) or
     None when the library is unavailable."""
     lib = _load()
     if lib is None:
@@ -74,15 +74,21 @@ def group_subtiles(subrow_blk: np.ndarray, subrow_stp: np.ndarray, S: int):
     blk = np.ascontiguousarray(subrow_blk, dtype=np.int64)
     stp = np.ascontiguousarray(subrow_stp, dtype=np.int64)
     n = blk.size
-    slot = np.empty(n, dtype=np.int64)
-    blocks = np.empty(max(n, 1), dtype=np.int32)
-    bases = np.empty(max(n, 1), dtype=np.int32)
-    ntiles = lib.spmv_group_subtiles(
-        blk.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-        stp.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-        n, S,
-        slot.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-        blocks.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-        bases.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-    )
-    return slot, blocks[:ntiles], bases[:ntiles], int(ntiles)
+    row_of = np.empty(max(n, 1), dtype=np.int64)
+    cap = n + 1024
+    for _ in range(2):
+        out_blk = np.empty(cap, dtype=np.int64)
+        out_stp = np.empty(cap, dtype=np.int64)
+        t = lib.spmv_emit_rows(
+            blk.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            stp.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            n, wcap,
+            row_of.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            out_blk.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            out_stp.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            cap,
+        )
+        if t >= 0:
+            return row_of[:n], out_blk[:t], out_stp[:t]
+        cap = -t  # exact required capacity; one retry always suffices
+    return None  # pragma: no cover

@@ -240,17 +240,16 @@ class SellMatrix:
 
     def padded_matvec(self, x2d):
         d = self.dev
-        y_sorted = panel_spmv(d, x2d)
+        y_sorted = panel_spmv(d, x2d)  # (out_rows, 128), out_rows ≥ blocks
         if not self.sorted_rows:
             # Adaptive σ kept the natural order — the permutation is the
             # identity, so the unpermute epilogue would be a pure copy pass
             # (it cost 16% of SpMV time on the band bench).  Skip it.
             return y_sorted
-        nb = d.out_blocks
-        y2 = y_sorted.reshape(nb, LANES)
-        if nb < 8:  # epilogue windows always slice 8 table rows
+        y2 = y_sorted
+        if y2.shape[0] < 8:  # epilogue windows always slice 8 table rows
             import jax.numpy as jnp
-            y2 = jnp.pad(y2, ((0, 8 - nb), (0, 0)))
+            y2 = jnp.pad(y2, ((0, 8 - y2.shape[0]), (0, 0)))
         return inverse_permute_blocks(self._perm_whi, self._perm_idx, y2)
 
     def matvec(self, x):

@@ -10,10 +10,10 @@ Engine 2 ``segmented_spmv`` — CSR / COO / CMRS (vs ``Csr.cl``, ``Coo.cl``,
 
 Memory system (the measured constraint that shapes everything): the Pallas
 grid pipeline streams ~67 GB/s per input array but scales with distinct
-arrays (in-engine aggregate ~530-690 GB/s at 12-14 arrays), so each plan
+arrays (in-engine aggregate ~530-690 GB/s at 14-27 arrays), so each plan
 stream arrives pre-split into several interleaved device arrays (see
 ``spmv_tpu.device``); one grid step consumes a **superchunk** of
-``ns·chunk`` sublane rows over 13-14 concurrent DMAs.
+``ns·chunk`` sublane rows over the concurrent DMAs.
 
 Compute per chunk, fused at chunk width (per-subtile (8,128) op streams
 measured ~4-7 cycles/op; chunk-wide ops pipeline properly):
@@ -21,27 +21,31 @@ measured ~4-7 cycles/op; chunk-wide ops pipeline properly):
 * x-gather: per subtile one (8,128) window slice of the VMEM-resident
   x table + depth-8 sublane gather by the per-row stripe offset ``hi``;
   then one chunk-wide lane gather by the in-stripe column ``lo`` — exact
-  because ``hi`` is constant within each sublane row.  Both ride in one
-  uint16 ``loc = hi·128 + lo`` stream.
+  because ``hi`` is constant within each sublane row.
 * Engine 2 reduction: inclusive lane prefix sums as one chunk-wide matmul
   against upper-triangular ones on the MXU (``jnp.cumsum`` does not lower
-  in Mosaic and a VPU scan costs ~40 vector ops).  The triangular matmul
-  dominates the engine's cycle budget, so (a) it runs as a **2-pass
-  split-f32 product** — the 0/1 stationary operand is exact in bf16, so
-  only the streaming operand needs a hi+lo bf16 decomposition, ~2⁻¹⁸-
-  relative products at ⅓ of ``Precision.HIGHEST``'s passes (measured
-  31.7 → 51.5 Gnnz/s) — and (b) the stream is **P-packed**: each lane
-  slot carries P ∈ {1,2,4} elements in separate value/column planes that
-  the VPU combines (``p = Σ v_p·x[lo_p]``) *before* the prefix, amortizing
-  the MXU passes and the segment-bound bytes over P elements (measured
-  42 → 113 Gelem/s at P=4, scripts/probe_pack.py).  Per-row segment sums
-  are ``cs[gidx] − cs[shift(gidx)]``: ``gidx`` arrives *filled* (running
-  max over lids), so the old pidx stream is a one-lane shift — one fewer
+  in Mosaic and a VPU scan costs ~40 vector ops) as a **2-pass split-f32
+  product** (the 0/1 stationary operand is exact in bf16; measured
+  31.7 → 51.5 Gnnz/s vs ``Precision.HIGHEST``), over a **P-packed**
+  stream: each lane slot carries P ∈ {1,2,4,8} elements in separate
+  value/column planes that the VPU combines (``p = Σ v_p·x[lo_p]``)
+  *before* the prefix, amortizing the MXU passes and the segment-bound
+  bytes over P elements (measured 42 → 113 Gelem/s at P=4,
+  scripts/probe_pack.py).  Per-row segment sums are
+  ``cs[gidx] − cs[shift(gidx)]``: ``gidx`` arrives *filled* (running max
+  over lids), so the old pidx stream is a one-lane shift — one fewer
   index stream (lane 0 of every sublane row is a guaranteed zero pad, so
   no masking).
-* Per-subtile 8-row sums via a block-diagonal 0/1 matmul (MXU) instead of
-  a 3-D reshape-reduce, then one dynamic 128-lane accumulate into the
-  whole-y-in-VMEM output per subtile.
+* **Windowed y-reduction** (round 3, both engines): each sublane row
+  carries a u8 target ``w`` (one ``meta`` row per sub-chunk); the kernel
+  builds the 0/1 matrix ``Rw[t,r] = (w[r]==t)`` from a broadcast compare
+  and reduces the whole sub-chunk into a ``(W,128)`` window with one
+  split-bf16 MXU matmul, then does ONE dynamic
+  ``o[base_w : base_w+W] += parts`` RMW.  This replaced round 2's static
+  8-row subtile sums + per-subtile accumulate loop (measured ~80 GB/s of
+  the segmented engine, scripts/probe_ablate.py ``noacc``) and dropped
+  the block-purity constraint on subtiles (×1.7 padding on scattered
+  matrices).
 
 The kernels run compiled on TPU and in interpreter mode elsewhere (CPU
 tests, multi-host simulation).
@@ -56,7 +60,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from spmv_tpu.formats.base import LANES, SUBLANES
+from spmv_tpu.formats.base import LANES, SUBLANES, round_up
 
 __all__ = ["panel_spmv", "segmented_spmv", "inverse_permute_blocks"]
 
@@ -80,16 +84,6 @@ def _triu_ones():
     return (rk <= ck).astype(jnp.float32)
 
 
-def _rowsum_matrix(chunk: int):
-    """Block-diagonal 0/1 (chunk/8, chunk): parts = R @ pieces sums each
-    subtile's 8 sublane rows on the MXU."""
-    nsub = chunk // SUBLANES
-    rt = jax.lax.broadcasted_iota(jnp.int32, (nsub, chunk), 0)
-    rc = jax.lax.broadcasted_iota(jnp.int32, (nsub, chunk), 1)
-    return jnp.logical_and(rc >= rt * SUBLANES,
-                           rc < (rt + 1) * SUBLANES).astype(jnp.float32)
-
-
 def _chunk_slice(refs, k: int, ns: int, chunk: int):
     """Sub-chunk k's rows from a stream split into len(refs) arrays
     (ns = sub-chunks per superchunk step)."""
@@ -99,11 +93,29 @@ def _chunk_slice(refs, k: int, ns: int, chunk: int):
     return r[off : off + chunk, :]
 
 
-def _accumulate(o_ref, parts, sub_block_ref, g0: int, nsub: int):
-    for s in range(nsub):
-        b = sub_block_ref[g0 + s]
-        off = pl.multiple_of(b * LANES, LANES)
-        o_ref[0:1, pl.ds(off, LANES)] += parts[s : s + 1, :]
+def _split_rowsum(R, p):
+    """2-pass bf16 row-combining matmul on the MXU (R is 0/1, exact in
+    bf16; only the streaming operand p needs the hi+lo split)."""
+    ph = p.astype(jnp.bfloat16)
+    plo = (p - ph.astype(jnp.float32)).astype(jnp.bfloat16)
+    return (jnp.dot(R, ph, preferred_element_type=jnp.float32)
+            + jnp.dot(R, plo, preferred_element_type=jnp.float32))
+
+
+def _window_accumulate(o_ref, pieces, meta_ref, base_ref, k: int, ns: int,
+                       chunk: int, W: int):
+    """Reduce a (chunk,128) sub-chunk into its y window: build
+    ``Rw[t,r] = (w[r]==t)`` from the streamed per-row target (one compare)
+    and land the whole sub-chunk with one MXU matmul + one dynamic RMW.
+    ``meta`` arrives blocked round_up(ns,8) rows per grid step (sub-chunk
+    k at block row k) so the row index is STATIC — Mosaic rejects dynamic
+    sublane offsets it cannot prove 8-aligned."""
+    wv = meta_ref[k : k + 1, 0:chunk].astype(jnp.int32)  # (1,chunk)
+    tt = jax.lax.broadcasted_iota(jnp.int32, (W, chunk), 0)
+    Rw = (jnp.broadcast_to(wv, (W, chunk)) == tt).astype(jnp.bfloat16)
+    parts = _split_rowsum(Rw, pieces)  # (W, 128)
+    base = base_ref[pl.program_id(0) * ns + k]
+    o_ref[pl.ds(base, W), :] += parts
 
 
 def _packed_products(k: int, ns: int, chunk: int, pack: int, kva: int,
@@ -126,23 +138,16 @@ def _packed_products(k: int, ns: int, chunk: int, pack: int, kva: int,
     return p
 
 
-def _split_rowsum(R, p):
-    """2-pass bf16 8-row sums on the MXU (R is 0/1, exact in bf16)."""
-    ph = p.astype(jnp.bfloat16)
-    plo = (p - ph.astype(jnp.float32)).astype(jnp.bfloat16)
-    return (jnp.dot(R, ph, preferred_element_type=jnp.float32)
-            + jnp.dot(R, plo, preferred_element_type=jnp.float32))
-
-
 # ---------------------------------------------------------------- engine 1
 
 
-def _panel_kernel(chunk: int, ns: int, kva: int, pack: int,
-                  sub_block_ref, sub_base_ref, *refs):
+def _panel_kernel(chunk: int, ns: int, kva: int, pack: int, W: int,
+                  base_ref, sub_base_ref, *refs):
     nv = pack * kva
     vals_refs = refs[:nv]
     lo_refs = refs[nv : nv + pack]
     hi_refs = refs[nv + pack : nv + pack + 1]
+    meta_ref = refs[nv + pack + 1]
     x_ref, o_ref = refs[-2], refs[-1]
     step = pl.program_id(0)
 
@@ -150,30 +155,31 @@ def _panel_kernel(chunk: int, ns: int, kva: int, pack: int,
     def _():
         o_ref[:] = jnp.zeros_like(o_ref)
 
-    R = _rowsum_matrix(chunk).astype(jnp.bfloat16)
     nsub = chunk // SUBLANES
     for k in range(ns):
         g0 = step * (ns * nsub) + k * nsub
         p = _packed_products(k, ns, chunk, pack, kva, vals_refs, lo_refs,
                              hi_refs, x_ref, sub_base_ref, g0)
-        parts = _split_rowsum(R, p)
-        _accumulate(o_ref, parts, sub_block_ref, g0, nsub)
+        _window_accumulate(o_ref, p, meta_ref, base_ref, k, ns, chunk, W)
 
 
 @jax.jit
 def panel_spmv(dev, x2d):
-    """Engine 1: y(1, 128·out_blocks) = A·x over P-packed stripe-pure
+    """Engine 1: y(out_rows, 128) = A·x over P-packed stripe-pure
     mini-panels (vs ``Ell.cl``'s workgroup-per-row tree reduction and
     ``Sigma_C.cl``'s slice kernel)."""
     chunk, ns, kva, pack = dev.chunk, dev.ns, dev.kva, dev.pack
     TM = dev.vals[0].shape[0] * kva
-    kernel = functools.partial(_panel_kernel, chunk, ns, kva, pack)
+    kernel = functools.partial(_panel_kernel, chunk, ns, kva, pack,
+                               dev.w_rows)
     in_specs = (
         [pl.BlockSpec((chunk * ns // kva, LANES), lambda i, *_: (i, 0),
                       memory_space=pltpu.VMEM)] * (pack * kva)
         + [pl.BlockSpec((chunk * ns, LANES), lambda i, *_: (i, 0),
                         memory_space=pltpu.VMEM)] * (pack + 1)
-        + [pl.BlockSpec(memory_space=pltpu.VMEM)]
+        + [pl.BlockSpec((round_up(ns, SUBLANES), LANES),
+                        lambda i, *_: (i, 0), memory_space=pltpu.VMEM)]
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)]  # x table, resident
     )
     return pl.pallas_call(
         kernel,
@@ -183,22 +189,22 @@ def panel_spmv(dev, x2d):
             in_specs=in_specs,
             out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         ),
-        out_shape=jax.ShapeDtypeStruct((1, dev.out_blocks * LANES),
-                                       jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((dev.out_rows, LANES), jnp.float32),
         interpret=_interpret(),
-    )(dev.sub_block, dev.sub_base, *dev.vals, *dev.lo, dev.hi, x2d)
+    )(dev.base_w, dev.sub_base, *dev.vals, *dev.lo, dev.hi, dev.meta, x2d)
 
 
 # ---------------------------------------------------------------- engine 2
 
 
-def _seg_kernel(chunk: int, ns: int, kva: int, pack: int,
-                sub_block_ref, sub_base_ref, *refs):
+def _seg_kernel(chunk: int, ns: int, kva: int, pack: int, W: int,
+                base_ref, sub_base_ref, *refs):
     nv = pack * kva
     vals_refs = refs[:nv]  # plane-major: plane pp is [pp*kva, (pp+1)*kva)
     lo_refs = refs[nv : nv + pack]
     hi_refs = refs[nv + pack : nv + pack + 1]
     gidx_refs = refs[nv + pack + 1 : nv + pack + 2]
+    meta_ref = refs[nv + pack + 2]
     x_ref, o_ref = refs[-2], refs[-1]
     step = pl.program_id(0)
 
@@ -207,7 +213,6 @@ def _seg_kernel(chunk: int, ns: int, kva: int, pack: int,
         o_ref[:] = jnp.zeros_like(o_ref)
 
     U = _triu_ones().astype(jnp.bfloat16)
-    R = _rowsum_matrix(chunk).astype(jnp.bfloat16)
     nsub = chunk // SUBLANES
     for k in range(ns):
         g0 = step * (ns * nsub) + k * nsub
@@ -223,9 +228,8 @@ def _seg_kernel(chunk: int, ns: int, kva: int, pack: int,
             [jnp.zeros((chunk, 1), jnp.int32), gi[:, : LANES - 1]], axis=1)
         pieces = (jnp.take_along_axis(cs, gi, axis=1)
                   - jnp.take_along_axis(cs, pi, axis=1))
-        # R is (nsub, chunk): split the streaming operand (pieces).
-        parts = _split_rowsum(R, pieces)
-        _accumulate(o_ref, parts, sub_block_ref, g0, nsub)
+        _window_accumulate(o_ref, pieces, meta_ref, base_ref, k, ns, chunk,
+                           W)
 
 
 @jax.jit
@@ -239,13 +243,16 @@ def segmented_spmv(dev, x2d):
     over P elements per lane slot."""
     chunk, ns, kva, pack = dev.chunk, dev.ns, dev.kva, dev.pack
     TM = dev.vals[0].shape[0] * kva
-    kernel = functools.partial(_seg_kernel, chunk, ns, kva, pack)
+    kernel = functools.partial(_seg_kernel, chunk, ns, kva, pack,
+                               dev.w_rows)
     in_specs = (
         [pl.BlockSpec((chunk * ns // kva, LANES), lambda i, *_: (i, 0),
                       memory_space=pltpu.VMEM)] * (pack * kva)
         + [pl.BlockSpec((chunk * ns, LANES), lambda i, *_: (i, 0),
                         memory_space=pltpu.VMEM)] * (pack + 2)
-        + [pl.BlockSpec(memory_space=pltpu.VMEM)]
+        + [pl.BlockSpec((round_up(ns, SUBLANES), LANES),
+                        lambda i, *_: (i, 0), memory_space=pltpu.VMEM)]
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)]  # x table, resident
     )
     return pl.pallas_call(
         kernel,
@@ -255,11 +262,10 @@ def segmented_spmv(dev, x2d):
             in_specs=in_specs,
             out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         ),
-        out_shape=jax.ShapeDtypeStruct((1, dev.out_blocks * LANES),
-                                       jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((dev.out_rows, LANES), jnp.float32),
         interpret=_interpret(),
-    )(dev.sub_block, dev.sub_base, *dev.vals, *dev.lo, dev.hi, dev.gidx,
-      x2d)
+    )(dev.base_w, dev.sub_base, *dev.vals, *dev.lo, dev.hi, dev.gidx,
+      dev.meta, x2d)
 
 
 # ------------------------------------------------------- permute epilogue

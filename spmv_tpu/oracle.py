@@ -127,8 +127,8 @@ def engine_rel_tol(max_row_nnz: int) -> float:
     under-bounds rows that share a sublane window with much larger rows
     (window/row magnitude ratio > ~11 breaches 32·eps·sqrt(127)).  For
     matrices with wildly heterogeneous row scales pass
-    ``scale = seg_engine_scale(plan, x)`` instead, which bounds by the
-    actual window magnitudes."""
+    ``scale = seg_engine_scale(plan, x, row_abs)`` instead (``row_abs`` =
+    per-row Σ|v||x|), which bounds by the actual window magnitudes."""
     return fp32_rel_tol(max(int(max_row_nnz), 127))
 
 
@@ -158,7 +158,7 @@ def seg_engine_scale(plan, x: np.ndarray, row_abs: np.ndarray) -> np.ndarray:
         w_mag += (np.abs(plan.vals[:, pp, :].astype(np.float64))
                   * absx[col]).sum(axis=1)
 
-    blocks = plan.sub_block[np.arange(tm) // 8].astype(np.int64)
+    blocks = np.asarray(plan.row_block, dtype=np.int64)[:tm]
     # present lids: the filled gidx strictly increases at each segment head
     gprev = np.concatenate(
         [np.zeros((tm, 1), plan.gidx.dtype), plan.gidx[:, :-1]], axis=1)

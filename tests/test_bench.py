@@ -49,6 +49,8 @@ def test_traffic_model_exact_bytes(small):
         bps = bytes_per_slot(a)
         p = a.dev.pack
         expected = (5 * p + 2) / p if streams == "seg" else (5 * p + 1) / p
+        # plus the windowed-reduction meta row (1 u8 per quad slot per chunk)
+        expected += int(np.prod(a.dev.meta.shape)) / a.dev.element_slots
         assert bps == pytest.approx(expected)
 
 

@@ -18,14 +18,14 @@ def test_grouping_fallback_parity(monkeypatch):
                                          bandwidth=90, seed=21)
     p_nat, q_nat = _plans(r, c, v, info.nrows, info.ncols)
 
-    monkeypatch.setattr(native_group, "group_subtiles",
+    monkeypatch.setattr(native_group, "emit_rows",
                         lambda *a, **k: None)  # force the Python loop
     p_py, q_py = _plans(r, c, v, info.nrows, info.ncols)
 
-    for name in ("vals", "lo", "hi", "gidx", "sub_block", "sub_base"):
+    for name in ("vals", "lo", "hi", "gidx", "row_block", "sub_base"):
         np.testing.assert_array_equal(getattr(p_nat, name),
                                       getattr(p_py, name), err_msg=name)
-    for name in ("vals", "lo", "hi", "sub_block", "sub_base"):
+    for name in ("vals", "lo", "hi", "row_block", "sub_base"):
         np.testing.assert_array_equal(getattr(q_nat, name),
                                       getattr(q_py, name), err_msg=name)
 
