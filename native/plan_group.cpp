@@ -26,7 +26,40 @@ inline int64_t mx(int64_t a, int64_t b) { return a < b ? b : a; }
 
 extern "C" {
 
-int64_t spmv_plan_abi_version() { return 2; }
+int64_t spmv_plan_abi_version() { return 3; }
+
+// Dense per-run slot packing with at most ONE segment boundary per quad
+// slot (the in-kernel prefix-difference correction ``c2`` can subtract a
+// single next-segment head per quad — kernels/engines.py).  Segments of a
+// run pack contiguously; segment j starts right after j-1's end unless
+// (a) it would END in j-1's end quad, or (b) the shared quad is the LAST
+// quad of a sublane row — the segment then spills into the next row and
+// its row-portion would be exactly the c2-subtracted head with gi == pi
+// (a zero piece) — in either case it starts at the next quad instead.
+// sizes/run are per-segment (segments ordered run-major); writes each
+// segment's start slot (within its run) to out_f.
+void spmv_pack_run_slots(const int64_t* sizes, const int64_t* run,
+                         int64_t nseg, int64_t pack, int64_t* out_f) {
+  constexpr int64_t kRowCap = kLanes - 1;  // quads per sublane row
+  int64_t cur_run = -1;
+  int64_t prev_end = -1;
+  for (int64_t j = 0; j < nseg; ++j) {
+    int64_t f;
+    if (run[j] != cur_run) {
+      cur_run = run[j];
+      f = 0;
+    } else {
+      f = prev_end + 1;
+      if ((f % pack) &&
+          ((f + sizes[j] - 1) / pack == prev_end / pack ||
+           (f / pack) % kRowCap == kRowCap - 1)) {
+        f = (prev_end / pack + 1) * pack;
+      }
+    }
+    out_f[j] = f;
+    prev_end = f + sizes[j] - 1;
+  }
+}
 
 // Places n subrows; writes the final row index of each into row_of and the
 // per-output-row (block, stripe) into out_blk/out_stp (capacity `cap`).

@@ -62,6 +62,9 @@ class BenchResult:
     #   speed-of-light efficiency on TRUE nonzeros — padding cannot buy score
     hbm_bw_gbps: float
     bytes_per_nnz: float
+    # per-round running-min slope estimates (ms/SpMV) — the convergence
+    # trace of the min-estimator, so recorded results are auditable
+    min_history_ms: list | None = None
 
     def to_dict(self):
         return asdict(self)
@@ -143,6 +146,7 @@ class _Prepared:
         _fetch(self.fa(self.x2d))
         _fetch(self.fb(self.x2d))  # compile + warm both
         self.ta = self.tb = float("inf")
+        self.history: list[float] = []
 
     def time_round(self, rep: int) -> None:
         """One timing pair.  The x perturbation makes every dispatch
@@ -159,6 +163,9 @@ class _Prepared:
         t0 = time.perf_counter()
         _fetch(self.fb(xr))
         self.tb = min(self.tb, time.perf_counter() - t0)
+        self.history.append(round(max(
+            (self.tb - self.ta) / (self.iters_b - self.iters_a), 1e-9) * 1e3,
+            6))
 
     def result(self, hbm_bw: float | None) -> BenchResult:
         a = self.a
@@ -185,6 +192,7 @@ class _Prepared:
             true_eff_pct=100.0 * (nnz / t) / (bw / bytes_per_slot(a)),
             hbm_bw_gbps=bw / 1e9,
             bytes_per_nnz=bpn,
+            min_history_ms=list(self.history),
         )
 
 

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 import numpy as np
@@ -78,7 +79,10 @@ def _validate(info, rows, cols, vals, x, y, a=None) -> tuple[bool, str]:
     scale = golden_spmv(info.nrows, rows, cols, np.abs(vals), np.abs(x))
     # For segmented-engine formats, bound by the sublane-window magnitude —
     # honest for heterogeneous row scales (see oracle.seg_engine_scale).
+    # HYB's segmented part rides in spill_plan.
     plan = getattr(a, "plan", None)
+    if plan is not None and not hasattr(plan, "gidx"):
+        plan = getattr(a, "spill_plan", None)
     if plan is not None and hasattr(plan, "gidx"):
         scale = seg_engine_scale(plan, x, scale)
     lengths = np.bincount(rows, minlength=max(info.nrows, 1)) if rows.size else np.zeros(1)
@@ -278,6 +282,19 @@ def cmd_info(args) -> int:
 
 
 def main(argv=None) -> int:
+    # Persistent XLA compilation cache shared with bench.py: first compile
+    # of a kernel geometry through the tunnel runs 20-90 s (sometimes
+    # minutes when the chip is contended) — every later process reuses it.
+    try:
+        import jax
+
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.path.join(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__))), ".jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
     p = argparse.ArgumentParser(prog="spmv-tpu",
                                 description="TPU-native SpMV framework")
     sub = p.add_subparsers(dest="cmd", required=True)

@@ -39,10 +39,12 @@ class RingShardedSpmv:
         from spmv_tpu.api import FORMATS
 
         format = format.lower()
-        if format in ("sell", "sell_c_sigma", "hyb", "bsr"):
+        if format == "bsr":
             raise NotImplementedError(
-                "ring-sharded SELL/HYB/BSR not supported; use csr/coo/cmrs/ell "
-                "(for hyb, RowShardedSpmv supports it)")
+                "ring-sharded BSR not supported (block-dense container); "
+                "use csr/coo/cmrs/ell/sell/hyb")
+        self.is_sell = format in ("sell", "sell_c_sigma")
+        self.is_hyb = format == "hyb"
         cls = FORMATS[format]
         self.mesh = mesh
         self.axis = mesh.axis_names[0]
@@ -59,8 +61,41 @@ class RingShardedSpmv:
         elif format == "ell" and "pack" not in fmt_kwargs:
             fmt_kwargs = dict(fmt_kwargs,
                               pack=panel_pack_for(rows, cols, nrows, ncols))
+        elif self.is_hyb:
+            fmt_kwargs = dict(fmt_kwargs)
+            fmt_kwargs.setdefault("pack",
+                                  seg_pack_for(rows, cols, nrows, ncols))
+            fmt_kwargs.setdefault("panel_pack",
+                                  panel_pack_for(rows, cols, nrows, ncols))
         rps = round_up(max(cdiv(nrows, D), LANES), LANES)
         cps = round_up(max(cdiv(ncols, D), LANES), LANES)
+        self._perm_whi = self._perm_idx = None
+        rps_pad = rps
+        if self.is_sell:
+            # ONE σ-sort per row slab, shared by the slab's D column-block
+            # sub-plans (each sub-plan sorting its own block would
+            # accumulate incompatibly-permuted partials on the ring).
+            from spmv_tpu.formats.sell import (DEFAULT_SIGMA,
+                                               sigma_sort_tables)
+
+            sigma = min(fmt_kwargs.pop("sigma", None) or DEFAULT_SIGMA, rps)
+            rows = rows.copy()
+            whis, idxs, any_sorted = [], [], False
+            for d in range(D):
+                sel = (rows >= d * rps) & (rows < (d + 1) * rps)
+                rs, sorted_, _p, whi, idx, rp = sigma_sort_tables(
+                    rows[sel] - d * rps, cols[sel], rps, ncols, sigma)
+                rows[sel] = rs + d * rps
+                whis.append(whi)
+                idxs.append(idx)
+                any_sorted = any_sorted or sorted_
+                rps_pad = rp  # same for every slab (depends on rps, sigma)
+            if any_sorted:
+                self._perm_whi = np.stack(whis)
+                self._perm_idx = np.stack(idxs)
+            cls = FORMATS["ell"]  # sub-plans: plain panels on sorted rows
+            fmt_kwargs.pop("pack", None)
+            fmt_kwargs["pack"] = panel_pack_for(rows, cols, nrows, ncols)
         # D×D sub-plans: (row slab d) × (column block j), unified together
         # so one stacked array set serves every (d, j).
         shards = []
@@ -69,18 +104,37 @@ class RingShardedSpmv:
                 sel = ((rows >= d * rps) & (rows < (d + 1) * rps)
                        & (cols >= j * cps) & (cols < (j + 1) * cps))
                 shards.append(cls.from_coo(
-                    rps, cps, rows[sel] - d * rps, cols[sel] - j * cps,
+                    rps_pad, cps, rows[sel] - d * rps, cols[sel] - j * cps,
                     vals[sel], **fmt_kwargs))
         arrays, chunk, ns, self.is_seg, pack, w_rows, out_rows = _unify_plans(
             [s.plan for s in shards])
+        self.st_spill = None
+        if self.is_hyb:
+            from spmv_tpu.formats.base import _empty_seg
+
+            spill = [s.spill_plan if s.spill_plan is not None
+                     else _empty_seg(rps_pad, cps, chunk, fmt_kwargs["pack"])
+                     for s in shards]
+            (sp_arrays, sp_chunk, sp_ns, _, sp_pack, sp_w,
+             sp_out) = _unify_plans(spill)
+            arrays.update({f"sp_{k}": v for k, v in sp_arrays.items()})
+            self.st_spill = _ShardStatics(
+                chunk=sp_chunk, ns=sp_ns, is_seg=True, is_row=True,
+                nrows=nrows, ncols=ncols, rows_per_shard=rps, n_shards=D,
+                pack=sp_pack, w_rows=sp_w, out_rows=sp_out,
+            )
         # (D·D, ...) -> (D, D, ...): leading axis = device, second = block.
         arrays = {k: v.reshape(D, D, *v.shape[1:]) for k, v in arrays.items()}
+        if self._perm_whi is not None:
+            arrays["perm_whi"] = self._perm_whi
+            arrays["perm_idx"] = self._perm_idx
         self.st = _ShardStatics(
             chunk=chunk, ns=ns, is_seg=self.is_seg, is_row=True,
             nrows=nrows, ncols=ncols, rows_per_shard=rps, n_shards=D,
             pack=pack, w_rows=w_rows, out_rows=out_rows,
         )
         self.rps, self.cps, self.D = rps, cps, D
+        self.rps_pad = rps_pad
         sharded = NamedSharding(mesh, P(self.axis))
         self.arrays = {
             k: put_sharded(v, sharded) for k, v in arrays.items()
@@ -90,9 +144,13 @@ class RingShardedSpmv:
 
     def _build(self):
         st, axis, mesh, D = self.st, self.axis, self.mesh, self.D
+        st_spill = self.st_spill
         S_local = self.S_local
         names = list(self.arrays)
-        nb = self.rps // LANES
+        ring_names = [n for n in names if n not in ("perm_whi", "perm_idx")]
+        has_perm = "perm_whi" in names
+        # nb_pad: blocks per σ-padded slab (== rps//128 for non-SELL)
+        nb = self.rps_pad // LANES
 
         def shard_fn(x_blk, *plan):
             # local views: x_blk (1, S_local, 128); plan arrays (1, D, ...)
@@ -104,10 +162,15 @@ class RingShardedSpmv:
                 j = jax.lax.rem(my - k + D, D)  # block held at step k
                 sub = {n: jax.lax.dynamic_index_in_dim(local[n], j, axis=0,
                                                        keepdims=False)
-                       for n in names}
+                       for n in ring_names}
                 dev = _make_dev(sub, st)
                 part = (segmented_spmv(dev, x2d) if st.is_seg
                         else panel_spmv(dev, x2d))[:nb]
+                if st_spill is not None:  # HYB: the segmented spill part
+                    sp = {n[3:]: v for n, v in sub.items()
+                          if n.startswith("sp_")}
+                    part = part + segmented_spmv(
+                        _make_dev(sp, st_spill), x2d)[:nb]
                 y = y + part
                 # pass the block to the next device on the ring
                 x2d = jax.lax.ppermute(
@@ -116,6 +179,13 @@ class RingShardedSpmv:
 
             y0 = jnp.zeros((nb, LANES), jnp.float32)
             _, y = jax.lax.fori_loop(0, D, step, (x_blk[0], y0))
+            if has_perm:  # SELL: undo the slab's σ-sort once, at the end
+                from spmv_tpu.kernels.engines import inverse_permute_blocks
+
+                y2 = jnp.pad(y, ((0, 8 - nb), (0, 0))) if nb < 8 else y
+                y = inverse_permute_blocks(
+                    local["perm_whi"], local["perm_idx"],
+                    y2).reshape(-1, LANES)[:nb]
             return y
 
         return jax.jit(shard_map(
@@ -139,6 +209,23 @@ class RingShardedSpmv:
         xb = xb.reshape(D, self.S_local, LANES)
         xb = put_sharded(xb, NamedSharding(self.mesh, P(self.axis)))
         y = self._fn(xb, *self.arrays.values())
+        # per-slab σ padding: keep the first rps true rows of each slab
+        # (y blocks are 128-lane rows: nb·128 values = rps_pad per slab)
+        y = y.reshape(D, self.rps_pad)[:, : self.rps]
         return y.reshape(-1)[: self.st.nrows]
 
     __matmul__ = matvec
+
+    @property
+    def nrows(self) -> int:
+        return self.st.nrows
+
+    @property
+    def ncols(self) -> int:
+        return self.st.ncols
+
+    def spmm(self, X):
+        """Ring-sharded SpMM: one ring-rotated matvec per RHS column."""
+        from spmv_tpu.api import spmm as _spmm
+
+        return _spmm(self, X)

@@ -307,21 +307,45 @@ class RowShardedSpmv:
 
     __matmul__ = matvec
 
+    @property
+    def nrows(self) -> int:
+        return self.st.nrows
+
+    @property
+    def ncols(self) -> int:
+        return self.st.ncols
+
+    def spmm(self, X):
+        """Row-sharded SpMM: Y = A @ X for X (ncols, R) — per-shard
+        matmat, each column's y sharded over the mesh like ``matvec``
+        (the R dispatches pipeline; see ``api.spmm`` for why a fused
+        multi-RHS kernel measured slower than the column loop)."""
+        from spmv_tpu.api import spmm as _spmm
+
+        return _spmm(self, X)
+
 
 class ColShardedSpmv:
-    """y = A·x with A column-partitioned (x sharded, partial-y psum)."""
+    """y = A·x with A column-partitioned (x sharded, partial-y psum).
+
+    SELL-C-σ needs ONE row permutation shared by every column shard (each
+    shard sorting its own slab would psum incompatibly-permuted partials),
+    so the σ-sort runs globally here (``sigma_sort_tables``), the shards
+    build panel plans over the pre-permuted rows, and the unpermute
+    epilogue runs once on the psum'd full y.  HYB shards as a two-part
+    plan like ``RowShardedSpmv``."""
 
     def __init__(self, format: str, nrows: int, ncols: int, rows, cols, vals,
                  mesh: Mesh, **fmt_kwargs):
         from spmv_tpu.api import FORMATS
 
         format = format.lower()
-        if format in _UNSUPPORTED or format == "hyb":
+        if format in _UNSUPPORTED:
             raise NotImplementedError(
-                "column-sharded HYB/BSR not supported; use RowShardedSpmv "
-                "for hyb, or shard csr/coo/cmrs/ell here")
-        if format in _PANEL_FORMATS and format != "ell":
-            raise NotImplementedError("column-sharded SELL not supported yet")
+                "column-sharded BSR not supported (block-dense container); "
+                "shard csr/coo/cmrs/ell/sell/hyb instead")
+        self.is_sell = format in ("sell", "sell_c_sigma")
+        self.is_hyb = format == "hyb"
         cls = FORMATS[format]
         self.format = format
         self.mesh = mesh
@@ -334,25 +358,62 @@ class ColShardedSpmv:
         if format in ("csr", "coo", "cmrs") and "pack" not in fmt_kwargs:
             fmt_kwargs = dict(fmt_kwargs,
                               pack=seg_pack_for(rows, cols, nrows, ncols))
-        elif format == "ell" and "pack" not in fmt_kwargs:
+        elif format in _PANEL_FORMATS and "pack" not in fmt_kwargs:
             fmt_kwargs = dict(fmt_kwargs,
                               pack=panel_pack_for(rows, cols, nrows, ncols))
+        elif format == "hyb":
+            fmt_kwargs = dict(fmt_kwargs)
+            fmt_kwargs.setdefault("pack",
+                                  seg_pack_for(rows, cols, nrows, ncols))
+            fmt_kwargs.setdefault("panel_pack",
+                                  panel_pack_for(rows, cols, nrows, ncols))
+
+        self._perm_whi = self._perm_idx = None
+        y_rows = nrows
+        if self.is_sell:
+            from spmv_tpu.formats.sell import DEFAULT_SIGMA, sigma_sort_tables
+
+            sigma = fmt_kwargs.pop("sigma", None) or DEFAULT_SIGMA
+            rows, sorted_, _perm, whi, idx, y_rows = sigma_sort_tables(
+                rows, cols, nrows, ncols, sigma)
+            if sorted_:
+                self._perm_whi = jnp.asarray(whi)
+                self._perm_idx = jnp.asarray(idx)
+            cls = FORMATS["ell"]  # shards: plain panels over sorted rows
+            fmt_kwargs.pop("pack", None)
+            fmt_kwargs["pack"] = panel_pack_for(rows, cols, y_rows, ncols)
         cps = round_up(max(cdiv(ncols, D), LANES), LANES)
         shards = []
         for d in range(D):
             lo, hi = d * cps, (d + 1) * cps
             sel = (cols >= lo) & (cols < hi)
             shards.append(
-                cls.from_coo(nrows, cps, rows[sel], cols[sel] - lo, vals[sel],
-                             **fmt_kwargs)
+                cls.from_coo(y_rows, cps, rows[sel], cols[sel] - lo,
+                             vals[sel], **fmt_kwargs)
             )
         arrays, chunk, ns, self.is_seg, pack, w_rows, out_rows = _unify_plans(
             [s.plan for s in shards])
+        self.st_spill = None
+        if self.is_hyb:
+            from spmv_tpu.formats.base import _empty_seg
+
+            spill = [s.spill_plan if s.spill_plan is not None
+                     else _empty_seg(nrows, cps, chunk, fmt_kwargs["pack"])
+                     for s in shards]
+            (sp_arrays, sp_chunk, sp_ns, _, sp_pack, sp_w,
+             sp_out) = _unify_plans(spill)
+            arrays.update({f"sp_{k}": v for k, v in sp_arrays.items()})
+            self.st_spill = _ShardStatics(
+                chunk=sp_chunk, ns=sp_ns, is_seg=True, is_row=False,
+                nrows=nrows, ncols=ncols, rows_per_shard=cps, n_shards=D,
+                pack=sp_pack, w_rows=sp_w, out_rows=sp_out,
+            )
         self.st = _ShardStatics(
             chunk=chunk, ns=ns, is_seg=self.is_seg, is_row=False,
-            nrows=nrows, ncols=ncols, rows_per_shard=cps, n_shards=D,
+            nrows=y_rows, ncols=ncols, rows_per_shard=cps, n_shards=D,
             pack=pack, w_rows=w_rows, out_rows=out_rows,
         )
+        self.true_nrows = nrows
         sharded = NamedSharding(mesh, P(self.axis))
         self.arrays = {
             k: put_sharded(v, sharded) for k, v in arrays.items()
@@ -363,8 +424,10 @@ class ColShardedSpmv:
 
     def _build(self):
         st, axis, mesh = self.st, self.axis, self.mesh
+        st_spill = self.st_spill
         S_local = self.S_local
         names = list(self.arrays)
+        nb = cdiv(st.nrows, LANES)
 
         def shard_fn(x_local, *plan):
             a = dict(zip(names, (p[0] for p in plan)))
@@ -373,9 +436,20 @@ class ColShardedSpmv:
             x2d = xf.reshape(S_local, LANES)
             dev = _make_dev(a, st)
             if st.is_seg:
-                y = segmented_spmv(dev, x2d)
+                y = segmented_spmv(dev, x2d)[:nb]
             else:
                 y = panel_spmv(dev, x2d)
+                if st_spill is not None:  # HYB: add the segmented spill
+                    sp = {k[3:]: v for k, v in a.items()
+                          if k.startswith("sp_")}
+                    ys = segmented_spmv(_make_dev(sp, st_spill), x2d)
+                    n = max(y.shape[0], ys.shape[0])
+                    if y.shape[0] < n:
+                        y = jnp.pad(y, ((0, n - y.shape[0]), (0, 0)))
+                    if ys.shape[0] < n:
+                        ys = jnp.pad(ys, ((0, n - ys.shape[0]), (0, 0)))
+                    y = y + ys
+                y = y[:nb]
             return jax.lax.psum(y, axis)
 
         fn = shard_map(
@@ -398,6 +472,25 @@ class ColShardedSpmv:
             NamedSharding(self.mesh, P(self.axis, None)),
         )
         y = self._fn(xs, *self.arrays.values())
-        return y.reshape(-1)[: self.st.nrows]
+        if self._perm_whi is not None:
+            # SELL: one unpermute epilogue on the full (replicated) y table
+            if y.shape[0] < 8:  # epilogue windows always slice 8 rows
+                y = jnp.pad(y, ((0, 8 - y.shape[0]), (0, 0)))
+            y = inverse_permute_blocks(self._perm_whi, self._perm_idx, y)
+        return y.reshape(-1)[: self.true_nrows]
 
     __matmul__ = matvec
+
+    @property
+    def nrows(self) -> int:
+        return self.true_nrows
+
+    @property
+    def ncols(self) -> int:
+        return self.st.ncols
+
+    def spmm(self, X):
+        """Column-sharded SpMM: one psum'd matvec per RHS column."""
+        from spmv_tpu.api import spmm as _spmm
+
+        return _spmm(self, X)

@@ -265,17 +265,56 @@ _QUAD_RATE = {1: 48e9, 2: 35e9, 4: 28e9}
 _STREAM_BW = 600e9
 
 
-def _pick_pack(seg_sizes: np.ndarray) -> int:
-    """Elements per quad slot minimizing modeled time: long segments (band
-    matrices) amortize P=4's per-quad cost over 4 elements; hypersparse
-    segments (1-2 elements) would pad 4× and pick P=1."""
+def _pick_pack(seg_sizes: np.ndarray, seg_run: np.ndarray) -> int:
+    """Elements per quad slot minimizing modeled time over the REAL dense
+    layout: per run the quad count is max(ceil(elements/P), nsegs) — the
+    dense packing's lower bound (≤1 segment boundary per quad) — and runs
+    round up to whole 127-quad sublane rows (the row quantization that an
+    element-only model badly underestimates on scattered matrices)."""
+    nruns = int(seg_run.max()) + 1 if seg_run.size else 1
+    run_els = np.bincount(seg_run, weights=seg_sizes.astype(np.float64),
+                          minlength=nruns).astype(np.int64)
+    run_nsegs = np.bincount(seg_run, minlength=nruns)
     best_p, best_t = 1, np.inf
     for p in (1, 2, 4):
-        quads = float(np.sum(-(-seg_sizes // p)))
-        t = max(quads * (5 * p + 2) / _STREAM_BW, quads / _QUAD_RATE[p])
+        quads = np.maximum(-(-run_els // p), run_nsegs)
+        slots = float(np.sum(-(-quads // ROW_CAP))) * ROW_CAP
+        t = max(slots * (5 * p + 2) / _STREAM_BW, slots / _QUAD_RATE[p])
         if t < best_t:
             best_p, best_t = p, t
     return best_p
+
+
+def _pack_run_slots(seg_sizes: np.ndarray, seg_run: np.ndarray,
+                    P: int) -> np.ndarray:
+    """Start slot of each segment within its run under dense packing:
+    segment j starts right after j−1's end unless (a) it would END in
+    j−1's end quad (the kernel's ``c2`` correction handles at most one
+    segment boundary per quad), or (b) the shared quad is the LAST quad
+    of a sublane row — the segment then spills into the next row and its
+    row-portion would be exactly the c2-subtracted head with ``gi == pi``
+    (a zero piece); in either case it starts at the next quad.  Runs in
+    C++ when ``native/plan_group.cpp`` is available (identical
+    semantics)."""
+    from spmv_tpu.formats import native_group
+
+    nat = native_group.pack_run_slots(seg_sizes, seg_run, P)
+    if nat is not None:
+        return nat
+    nseg = seg_sizes.size
+    f = np.empty(nseg, dtype=np.int64)
+    cur, prev_end = -1, -1
+    for j in range(nseg):
+        if seg_run[j] != cur:
+            cur, fj = seg_run[j], 0
+        else:
+            fj = prev_end + 1
+            if fj % P and ((fj + seg_sizes[j] - 1) // P == prev_end // P
+                           or (fj // P) % ROW_CAP == ROW_CAP - 1):
+                fj = (prev_end // P + 1) * P
+        f[j] = fj
+        prev_end = fj + seg_sizes[j] - 1
+    return f
 
 
 def _pick_pack_panel(widths: np.ndarray) -> int:
@@ -319,8 +358,9 @@ def seg_pack_for(rows, cols, nrows: int, ncols: int) -> int:
         return 1
     nstripes = cdiv(max(ncols, 1), LANES)
     segkey = ((rows >> 7) * nstripes + (cols >> 7)) * (nrows + 1) + rows
-    _, sizes = np.unique(segkey, return_counts=True)
-    return _pick_pack(sizes)
+    useg, sizes = np.unique(segkey, return_counts=True)
+    _, seg_run = np.unique(useg // (nrows + 1), return_inverse=True)
+    return _pick_pack(sizes, seg_run)
 
 
 def build_seg_plan(
@@ -337,10 +377,13 @@ def build_seg_plan(
     """Pack COO triplets (any order; duplicates sum in-kernel) into the
     P-packed stripe-pure segmented stream (see ``SegPlan``).
 
-    A *segment* is a (row, stripe) group; each segment pads to a whole
-    number of quads (multiples of P elements) so segment boundaries align
-    with quad slots and the in-kernel prefix difference stays exact.
-    ``pack=None`` picks P from the segment-size histogram (``_pick_pack``).
+    A *segment* is a (row, stripe) group; segments pack DENSELY within
+    their (block, stripe) run — boundaries fall mid-quad, at most one per
+    quad slot, flagged by the MSB of ``lo`` so the kernel's ``c2``
+    correction keeps the prefix difference exact (``kernels.engines``).
+    The only alignment pad: a segment that would end in its predecessor's
+    end quad starts at the next quad instead (``_pack_run_slots``).
+    ``pack=None`` picks P from the run/segment histogram (``_pick_pack``).
     """
     from spmv_tpu import cache as _cache
 
@@ -350,7 +393,7 @@ def build_seg_plan(
     nnz = rows.size
     if nnz == 0:
         return _empty_seg(nrows, ncols, chunk, pack or 1)
-    hit = _cache.plan_lookup("seg3", rows, cols, vals, nrows, ncols,
+    hit = _cache.plan_lookup("seg4", rows, cols, vals, nrows, ncols,
                              (chunk, pack or 0), SegPlan)
     if hit is not None:
         return hit
@@ -367,28 +410,22 @@ def build_seg_plan(
     runkey = blk * nstripes + stp
     run_id, run_sizes, _ = _run_heads(runkey)
     seg_id, seg_sizes, seg_head = _run_heads(runkey * (nrows + 1) + r)
-    P = pack if pack is not None else _pick_pack(seg_sizes)
-
-    # Quad stream: segment g contributes ceil(s_g/P) quads, in element order.
-    q_seg = -(-seg_sizes // P)
     nseg = seg_sizes.size
-    nq = int(q_seg.sum())
-    quad_seg = np.repeat(np.arange(nseg, dtype=np.int64), q_seg)
-    qstarts = np.zeros(nseg + 1, dtype=np.int64)
-    np.cumsum(q_seg, out=qstarts[1:])
-
     seg_run = run_id[seg_head]
-    quad_run = seg_run[quad_seg]
-    run_q_starts = np.searchsorted(quad_run, np.arange(run_sizes.size))
-    quad_in_run = np.arange(nq, dtype=np.int64) - run_q_starts[quad_run]
-    qpos = 1 + quad_in_run % ROW_CAP  # lane 0 reserved as the zero pad
-    subrow_in_run = quad_in_run // ROW_CAP
+    P = pack if pack is not None else _pick_pack(seg_sizes, seg_run)
 
-    run_quads = np.bincount(quad_run, minlength=run_sizes.size)
+    # Dense per-run slot packing: segments pack contiguously (boundaries
+    # mid-quad, ≤1 per quad — the kernel's c2 correction); the walk only
+    # inserts a quad-alignment pad when a segment would end in its
+    # predecessor's end quad.
+    f = _pack_run_slots(seg_sizes, seg_run, P)
+    seg_end = f + seg_sizes - 1
+    run_last = np.searchsorted(seg_run, np.arange(run_sizes.size),
+                               side="right") - 1
+    run_quads = -(-(seg_end[run_last] + 1) // P)
     run_nsub = -(-run_quads // ROW_CAP)
     subrow_start = np.zeros(run_sizes.size + 1, dtype=np.int64)
     np.cumsum(run_nsub, out=subrow_start[1:])
-    quad_subrow = subrow_start[quad_run] + subrow_in_run
 
     run_head_elem = np.zeros(nnz, dtype=bool)
     run_head_elem[np.searchsorted(run_id, np.arange(run_sizes.size))] = True
@@ -397,21 +434,28 @@ def build_seg_plan(
 
     row_of, row_blk, row_stp, sub_base, TM = _emit_rows(
         subrow_blk, subrow_stp, S, chunk)
-    quad_row = row_of[quad_subrow]  # final sublane row of each quad
 
-    # Element placement: rank k within its segment → quad k//P, plane k%P.
+    # Element placement: slot f_seg + rank, quad slot//P, plane slot%P.
     seg_estarts = np.zeros(nseg + 1, dtype=np.int64)
     np.cumsum(seg_sizes, out=seg_estarts[1:])
     k = np.arange(nnz, dtype=np.int64) - seg_estarts[seg_id]
-    elem_quad = qstarts[seg_id] + k // P
-    plane = k % P
-    erow = quad_row[elem_quad]
-    epos = qpos[elem_quad]
+    slot = f[seg_id] + k
+    q_in_run = slot // P
+    plane = slot % P
+    qpos = 1 + q_in_run % ROW_CAP  # lane 0 reserved as the zero pad
+    erow = row_of[subrow_start[seg_run[seg_id]] + q_in_run // ROW_CAP]
+    epos = qpos
 
     v3d = np.zeros((TM, P, LANES), dtype=dtype)
     lo3d = np.zeros((TM, P, LANES), dtype=np.uint8)
     v3d[erow, plane, epos] = v
-    lo3d[erow, plane, epos] = (c & (LANES - 1)).astype(np.uint8)
+    # MSB of lo marks elements in a quad shared with the predecessor's end
+    # (they belong to the NEXT segment — the kernel's c2 subtracts them
+    # from the prefix at that quad).  Zero extra stream bytes.
+    shared = (f[seg_id] % P != 0) & (q_in_run == f[seg_id] // P)
+    lo3d[erow, plane, epos] = ((c & (LANES - 1))
+                               | (shared.astype(np.int64) << 7)
+                               ).astype(np.uint8)
     # hi is uniform per sublane row (the two-step gather's exactness
     # condition) — pad slots carry the row's hi too.
     row_hi = (row_stp.astype(np.int64)
@@ -421,16 +465,16 @@ def build_seg_plan(
     hi2d = np.ascontiguousarray(
         np.broadcast_to(row_hi.astype(np.uint8)[:, None], (TM, LANES)))
 
-    # Filled gidx: per (sublane row, lid) the last quad position, then a
-    # running max along lanes (absent lids inherit the previous segment's
-    # end; the kernel's lane shift turns that into the pidx bound).
-    lid = (r[seg_head] & (LANES - 1)).astype(np.int64)
-    quad_lid = lid[quad_seg]
-    gkey = quad_row * LANES + quad_lid
+    # Filled gidx: per (sublane row, lid) the last element's quad position,
+    # then a running max along lanes (absent lids inherit the previous
+    # segment's end; the kernel's lane shift turns that into the pidx
+    # bound).  Element order groups each (row, lid) contiguously.
+    lid_e = (r & (LANES - 1)).astype(np.int64)
+    gkey = erow * LANES + lid_e
     _, g_sizes, g_head = _run_heads(gkey)
-    g_last_pos = qpos[np.flatnonzero(g_head) + g_sizes - 1]
+    g_last = np.flatnonzero(g_head) + g_sizes - 1
     gidx_raw = np.zeros((TM, LANES), dtype=np.uint8)
-    gidx_raw[quad_row[g_head], quad_lid[g_head]] = g_last_pos
+    gidx_raw[erow[g_last], lid_e[g_last]] = epos[g_last]
     gidx = np.maximum.accumulate(gidx_raw, axis=1)
 
     plan = SegPlan(
@@ -438,7 +482,7 @@ def build_seg_plan(
         row_block=row_blk, sub_base=sub_base,
         nrows=nrows, ncols=ncols, nnz=nnz, chunk=chunk, pack=P,
     )
-    _cache.plan_store("seg3", rows, cols, vals, nrows, ncols,
+    _cache.plan_store("seg4", rows, cols, vals, nrows, ncols,
                       (chunk, pack or 0), plan)
     return plan
 

@@ -13,7 +13,7 @@ import subprocess
 
 import numpy as np
 
-__all__ = ["available", "emit_rows"]
+__all__ = ["available", "emit_rows", "pack_run_slots"]
 
 _NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(
     os.path.dirname(os.path.abspath(__file__)))), "native")
@@ -46,7 +46,7 @@ def _load():
     try:
         lib = ctypes.CDLL(_SO)
         lib.spmv_plan_abi_version.restype = ctypes.c_int64
-        if lib.spmv_plan_abi_version() != 2:
+        if lib.spmv_plan_abi_version() != 3:
             return None
         lib.spmv_emit_rows.restype = ctypes.c_int64
         lib.spmv_emit_rows.argtypes = [
@@ -54,6 +54,12 @@ def _load():
             ctypes.c_int64, ctypes.c_int64,
             ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
             ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+        ]
+        lib.spmv_pack_run_slots.restype = None
+        lib.spmv_pack_run_slots.argtypes = [
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64),
         ]
         _lib = lib
     except OSError:
@@ -92,3 +98,21 @@ def emit_rows(subrow_blk: np.ndarray, subrow_stp: np.ndarray, wcap: int):
             return row_of[:n], out_blk[:t], out_stp[:t]
         cap = -t  # exact required capacity; one retry always suffices
     return None  # pragma: no cover
+
+
+def pack_run_slots(seg_sizes: np.ndarray, seg_run: np.ndarray, pack: int):
+    """Native dense per-run slot packing (≤1 segment boundary per quad);
+    returns each segment's start slot, or None when unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    sizes = np.ascontiguousarray(seg_sizes, dtype=np.int64)
+    run = np.ascontiguousarray(seg_run, dtype=np.int64)
+    f = np.empty(max(sizes.size, 1), dtype=np.int64)
+    lib.spmv_pack_run_slots(
+        sizes.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        run.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        sizes.size, pack,
+        f.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+    )
+    return f[: sizes.size]

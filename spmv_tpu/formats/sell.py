@@ -29,7 +29,7 @@ from spmv_tpu.device import DevPanel, x_to_table, y_from_padded
 from spmv_tpu.formats.base import DEFAULT_CHUNK, LANES, build_panel_plan, cdiv
 from spmv_tpu.kernels.engines import inverse_permute_blocks, panel_spmv
 
-__all__ = ["SellMatrix", "DEFAULT_SIGMA"]
+__all__ = ["SellMatrix", "DEFAULT_SIGMA", "sigma_sort_tables"]
 
 DEFAULT_SIGMA = 1024  # rows per sorting window; ≤ 1024 (8×128 gather window)
 
@@ -49,6 +49,58 @@ def _panel_slots(rows, cols, nrows: int, ncols: int) -> int:
     widths = np.zeros(bs.size, dtype=np.int64)
     np.maximum.at(widths, inv, counts)
     return int(widths.sum()) * LANES
+
+
+def sigma_sort_tables(rows, cols, nrows: int, ncols: int,
+                      sigma: int = DEFAULT_SIGMA):
+    """The σ-sort decision + epilogue tables for a row space.
+
+    Within each σ-row window rows stable-sort by descending length; the
+    sort applies only when it shrinks the padded panel (adaptive σ — on
+    banded/FEM matrices the natural order carries column locality and the
+    sort would *grow* per-(slice, stripe) widths).  Returns
+    ``(rows_sorted, sorted_, perm, whi, idx, nrows_pad)`` where ``perm``
+    maps sorted position → original row and ``whi``/``idx`` are the
+    unpermute-epilogue tables (padded to whole 8-block steps).  Shared by
+    ``SellMatrix.from_coo`` and the dist layer, which needs ONE row
+    permutation across all column shards of a row slab."""
+    rows = np.asarray(rows, dtype=np.int64)
+    cols = np.asarray(cols, dtype=np.int64)
+    lengths = (np.bincount(rows, minlength=nrows) if rows.size
+               else np.zeros(nrows, np.int64))
+    nrows_pad = cdiv(max(nrows, 1), sigma) * sigma
+    lengths_pad = np.zeros(nrows_pad, dtype=np.int64)
+    lengths_pad[:nrows] = lengths
+
+    win = lengths_pad.reshape(-1, sigma)
+    order_in_win = np.argsort(-win, axis=1, kind="stable")
+    base = (np.arange(win.shape[0], dtype=np.int64) * sigma)[:, None]
+    perm = (base + order_in_win).reshape(-1)  # perm[sorted_pos] = orig row
+    invperm = np.empty_like(perm)
+    invperm[perm] = np.arange(nrows_pad, dtype=np.int64)
+
+    if rows.size and _panel_slots(invperm[rows], cols, nrows_pad, ncols) \
+            < _panel_slots(rows, cols, nrows_pad, ncols):
+        rows_sorted = invperm[rows]  # relabel rows into sorted space
+        sorted_ = True
+    else:
+        perm = np.arange(nrows_pad, dtype=np.int64)
+        invperm = perm
+        rows_sorted = rows
+        sorted_ = False
+
+    # Epilogue tables: output block g reads y'[invperm[128g : 128g+128]],
+    # all within the σ-window containing those rows; padded to a multiple
+    # of the epilogue's 8-blocks-per-step granularity.
+    nblocks = nrows_pad // LANES
+    idx = invperm.reshape(nblocks, LANES).astype(np.int32)
+    whi = ((np.arange(nblocks, dtype=np.int64) * LANES) // sigma * sigma) \
+        // LANES
+    whi = np.minimum(whi, max(nblocks - 8, 0)).astype(np.int32)
+    nbp = cdiv(nblocks, 8) * 8
+    idx = np.vstack([idx, np.zeros((nbp - nblocks, LANES), np.int32)])
+    whi = np.concatenate([whi, np.zeros(nbp - nblocks, np.int32)])
+    return rows_sorted, sorted_, perm, whi, idx, nrows_pad
 
 
 @dataclass
@@ -94,54 +146,23 @@ class SellMatrix:
         cols = np.asarray(cols)
         vals = np.asarray(vals)
 
-        lengths = np.bincount(rows, minlength=nrows) if rows.size else np.zeros(nrows, np.int64)
-        nrows_pad = cdiv(max(nrows, 1), sigma) * sigma
-        lengths_pad = np.zeros(nrows_pad, dtype=np.int64)
-        lengths_pad[:nrows] = lengths
-
-        # σ-sort: within each σ-row window, stable-sort rows by desc length.
-        win = lengths_pad.reshape(-1, sigma)
-        order_in_win = np.argsort(-win, axis=1, kind="stable")
-        base = (np.arange(win.shape[0], dtype=np.int64) * sigma)[:, None]
-        perm = (base + order_in_win).reshape(-1)  # perm[sorted_pos] = orig row
-        invperm = np.empty_like(perm)
-        invperm[perm] = np.arange(nrows_pad, dtype=np.int64)
-
-        # Adaptive σ: the sort only helps when it shrinks the padded panel.
-        # On matrices whose row order carries column locality (banded/FEM),
-        # permuting rows scatters each 128-row slice across stripes and
-        # *grows* per-(slice, stripe) widths — measure both and keep the
-        # smaller (the reference cannot do this: its σ-sort is a pre-sorted
-        # input file, ``sigma_c.c:44``).
-        if _panel_slots(invperm[rows], cols, nrows_pad, ncols) \
-                < _panel_slots(rows, cols, nrows_pad, ncols):
-            rows_sorted = invperm[rows]  # relabel rows into sorted space
-            sorted_ = True
-        else:
-            perm = np.arange(nrows_pad, dtype=np.int64)
-            invperm = perm
-            rows_sorted = rows
-            sorted_ = False
+        # Adaptive σ-sort + epilogue tables (shared with the dist layer).
+        rows_sorted, sorted_, perm, whi, idx, nrows_pad = sigma_sort_tables(
+            rows, cols, nrows, ncols, sigma)
 
         # Per-slice (128-row block) padded width from sorted lengths —
         # reported as the format's slice metadata; the device plan refines
         # this to per-(slice, stripe) widths.
+        lengths = (np.bincount(rows, minlength=nrows) if rows.size
+                   else np.zeros(nrows, np.int64))
+        lengths_pad = np.zeros(nrows_pad, dtype=np.int64)
+        lengths_pad[:nrows] = lengths
         nblocks = nrows_pad // LANES
         slens = lengths_pad[perm].reshape(nblocks, LANES)
         slice_widths = slens.max(axis=1)
 
         plan = build_panel_plan(rows_sorted, cols, vals, nrows_pad, ncols,
                                 chunk=chunk, pack=pack)
-
-        # Epilogue metadata: output block g reads y'[invperm[128g : 128g+128]],
-        # all within the σ-window containing those rows.  Padded to a
-        # multiple of the epilogue's 8-blocks-per-step granularity.
-        idx = invperm.reshape(nblocks, LANES).astype(np.int32)
-        whi = ((np.arange(nblocks, dtype=np.int64) * LANES) // sigma * sigma) // LANES
-        whi = np.minimum(whi, max(nblocks - 8, 0)).astype(np.int32)
-        nbp = cdiv(nblocks, 8) * 8
-        idx = np.vstack([idx, np.zeros((nbp - nblocks, LANES), np.int32)])
-        whi = np.concatenate([whi, np.zeros(nbp - nblocks, np.int32)])
 
         return cls(
             nrows=nrows, ncols=ncols, nnz=rows.size, sigma=sigma,

@@ -119,10 +119,18 @@ def _window_accumulate(o_ref, pieces, meta_ref, base_ref, k: int, ns: int,
 
 
 def _packed_products(k: int, ns: int, chunk: int, pack: int, kva: int,
-                     vals_refs, lo_refs, hi_refs, x_ref, sub_base_ref, g0):
+                     vals_refs, lo_refs, hi_refs, x_ref, sub_base_ref, g0,
+                     seg: bool = False):
     """p = Σ_planes vals_p · x[col_p] for one (chunk,128) sub-chunk: one
     shared x-window gather (hi uniform per sublane row) + P lane gathers
-    combined on the VPU."""
+    combined on the VPU.
+
+    For the segmented engine (``seg=True``) also returns the mid-quad
+    boundary correction ``c2 = Σ_planes msb(lo_p) · vals_p · x[col_p]``:
+    segments pack densely (at most one segment boundary per quad slot) and
+    the MSB of ``lo`` marks planes belonging to the *next* segment, so the
+    prefix difference runs on ``d = cs − c2`` (zero extra stream bytes —
+    the flag rides the spare bit of the u8 in-stripe column)."""
     hi_c = _chunk_slice(hi_refs, k, ns, chunk).astype(jnp.int32)
     ts = []
     for s in range(chunk // SUBLANES):
@@ -131,11 +139,17 @@ def _packed_products(k: int, ns: int, chunk: int, pack: int, kva: int,
             w, hi_c[s * SUBLANES:(s + 1) * SUBLANES, :], axis=0))
     T = jnp.concatenate(ts, axis=0)  # (chunk,128) per-row x windows
     p = jnp.zeros((chunk, LANES), jnp.float32)
+    c2 = jnp.zeros((chunk, LANES), jnp.float32) if seg else None
     for pp in range(pack):
         lo_c = _chunk_slice((lo_refs[pp],), k, ns, chunk).astype(jnp.int32)
         v_c = _chunk_slice(vals_refs[pp * kva:(pp + 1) * kva], k, ns, chunk)
-        p = p + v_c * jnp.take_along_axis(T, lo_c, axis=1)
-    return p
+        if seg:
+            t = v_c * jnp.take_along_axis(T, lo_c & (LANES - 1), axis=1)
+            p = p + t
+            c2 = c2 + jnp.where(lo_c >= LANES, t, 0.0)
+        else:
+            p = p + v_c * jnp.take_along_axis(T, lo_c, axis=1)
+    return (p, c2) if seg else p
 
 
 # ---------------------------------------------------------------- engine 1
@@ -218,16 +232,21 @@ def _seg_kernel(chunk: int, ns: int, kva: int, pack: int, W: int,
         g0 = step * (ns * nsub) + k * nsub
         # P-packed pre-reduction (shared with engine 1): the VPU combine
         # amortizes the MXU prefix and the index bytes over P elements.
-        p = _packed_products(k, ns, chunk, pack, kva, vals_refs, lo_refs,
-                             hi_refs, x_ref, sub_base_ref, g0)
+        p, c2 = _packed_products(k, ns, chunk, pack, kva, vals_refs,
+                                 lo_refs, hi_refs, x_ref, sub_base_ref, g0,
+                                 seg=True)
         cs = _split_dot(p, U)  # inclusive lane prefix on the MXU
+        # d[q] = everything through the portion of quad q belonging to the
+        # segment ending in q (c2 subtracts the next segment's head) — the
+        # prefix difference stays exact with mid-quad segment boundaries.
+        d = cs - c2
         gi = _chunk_slice(gidx_refs, k, ns, chunk).astype(jnp.int32)
         # pidx = previous lid's filled gidx — a one-lane shift (gidx is a
-        # running max, so absent lids vanish as cs[g]-cs[g]).
+        # running max, so absent lids vanish as d[g]-d[g]).
         pi = jnp.concatenate(
             [jnp.zeros((chunk, 1), jnp.int32), gi[:, : LANES - 1]], axis=1)
-        pieces = (jnp.take_along_axis(cs, gi, axis=1)
-                  - jnp.take_along_axis(cs, pi, axis=1))
+        pieces = (jnp.take_along_axis(d, gi, axis=1)
+                  - jnp.take_along_axis(d, pi, axis=1))
         _window_accumulate(o_ref, pieces, meta_ref, base_ref, k, ns, chunk,
                            W)
 

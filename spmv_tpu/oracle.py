@@ -151,7 +151,9 @@ def seg_engine_scale(plan, x: np.ndarray, row_abs: np.ndarray) -> np.ndarray:
     hi = plan.hi.astype(np.int64)
     w_mag = np.zeros(tm, dtype=np.float64)
     for pp in range(plan.pack):
-        col = (base[:, None] + hi) * 128 + plan.lo[:, pp, :].astype(np.int64)
+        # lo's MSB is the mid-quad boundary flag, not part of the column
+        col = (base[:, None] + hi) * 128 + (
+            plan.lo[:, pp, :].astype(np.int64) & 127)
         # pad slots carry v == 0; their col may land in the zero-padded
         # x-table tail — clamp so the |x| lookup stays in bounds.
         col = np.minimum(col, absx.size - 1)

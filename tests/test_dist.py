@@ -39,7 +39,7 @@ def test_row_sharded(mesh, fmt, gather_x):
     assert rep.ok, f"{fmt} gather_x={gather_x}: {rep}"
 
 
-@pytest.mark.parametrize("fmt", ["csr", "ell"])
+@pytest.mark.parametrize("fmt", ["csr", "ell", "sell", "hyb"])
 def test_col_sharded(mesh, fmt):
     info, r, c, v, x = _data(n=900, seed=6)
     a = ColShardedSpmv(fmt, info.nrows, info.ncols, r, c, v, mesh)
@@ -85,7 +85,7 @@ def test_weak_scaling_harness(mesh):
     assert all(p["ms_per_spmv"] > 0 for p in rep["points"])
 
 
-@pytest.mark.parametrize("fmt", ["csr", "cmrs", "ell"])
+@pytest.mark.parametrize("fmt", ["csr", "cmrs", "ell", "sell", "hyb"])
 def test_ring_sharded(mesh, fmt):
     from spmv_tpu.dist.ring import RingShardedSpmv
 
@@ -99,19 +99,31 @@ def test_ring_sharded(mesh, fmt):
 
 
 def test_sharded_unsupported_rejected(mesh):
-    """BSR (block-dense, plan-less) and ring/col HYB get the intended
-    NotImplementedError instead of a late AttributeError crash."""
+    """BSR (block-dense, plan-less) gets the intended NotImplementedError
+    in every sharding instead of a late AttributeError crash."""
     from spmv_tpu.dist.ring import RingShardedSpmv
 
     info, r, c, v, x = _data(n=300, seed=1)
-    for bad in ("bsr",):
+    for wrapper in (RowShardedSpmv, ColShardedSpmv, RingShardedSpmv):
         with pytest.raises(NotImplementedError):
-            RowShardedSpmv(bad, info.nrows, info.ncols, r, c, v, mesh)
-    for bad in ("hyb", "bsr"):
-        with pytest.raises(NotImplementedError):
-            RingShardedSpmv(bad, info.nrows, info.ncols, r, c, v, mesh)
-        with pytest.raises(NotImplementedError):
-            ColShardedSpmv(bad, info.nrows, info.ncols, r, c, v, mesh)
+            wrapper("bsr", info.nrows, info.ncols, r, c, v, mesh)
+
+
+def test_row_sharded_spmm(mesh):
+    """Row-sharded multi-RHS: per-shard matmat, each column sharded like
+    matvec."""
+    info, r, c, v, x = _data(n=500, seed=9)
+    rng = np.random.default_rng(10)
+    X = rng.standard_normal((info.ncols, 3)).astype(np.float32)
+    a = RowShardedSpmv("csr", info.nrows, info.ncols, r, c, v, mesh)
+    Y = np.asarray(a.spmm(X))
+    assert Y.shape == (info.nrows, 3)
+    for j in range(3):
+        rep = check_result(golden_spmv(info.nrows, r, c, v, X[:, j]),
+                           Y[:, j], tol_abs=1e-4, tol_rel=1e-4,
+                           scale=golden_spmv(info.nrows, r, c, np.abs(v),
+                                             np.abs(X[:, j])))
+        assert rep.ok, f"column {j}: {rep}"
 
 
 def test_weak_scaling_analytic_model(mesh):

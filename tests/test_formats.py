@@ -22,6 +22,17 @@ def run_format(fmt, info, r, c, v, x=None):
     assert y.shape == (info.nrows,)
     expected = golden_spmv(info.nrows, r, c, v, x.astype(np.float32))
     scale = golden_spmv(info.nrows, r, c, np.abs(v), np.abs(x.astype(np.float32)))
+    # Mirror the production validator (cli._validate): segmented-engine
+    # formats bound by the sublane-window magnitude — the engine's
+    # documented rounding model (oracle.seg_engine_scale), needed since
+    # dense packing mixes rows of different magnitude into shared windows.
+    from spmv_tpu.oracle import seg_engine_scale
+
+    plan = getattr(a, "plan", None)
+    if plan is not None and not hasattr(plan, "gidx"):
+        plan = getattr(a, "spill_plan", None)  # HYB's segmented part
+    if plan is not None and hasattr(plan, "gidx"):
+        scale = seg_engine_scale(plan, x.astype(np.float32), scale)
     lengths = np.bincount(r, minlength=info.nrows) if r.size else np.zeros(1)
     rep = check_result(
         expected, y, tol_abs=1e-5, scale=scale,
