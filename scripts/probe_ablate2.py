@@ -79,7 +79,10 @@ def build(variant):
         if variant == "dma":
             acc = jnp.zeros((1, LANES), jnp.float32)
             for a in refs[:-1]:
-                acc = acc + jnp.sum(a[...].astype(jnp.float32), axis=0,
+                v = a[...]
+                if v.dtype == jnp.uint8:  # Mosaic: no direct u8->f32 cast
+                    v = v.astype(jnp.int32)
+                acc = acc + jnp.sum(v.astype(jnp.float32), axis=0,
                                     keepdims=True)
             o_ref[0:1, :] += acc
             return

@@ -15,6 +15,7 @@ from spmv_tpu.formats.coo import COOMatrix
 from spmv_tpu.formats.csr import CSRMatrix
 from spmv_tpu.formats.ell import EllMatrix
 from spmv_tpu.formats.hyb import HybMatrix
+from spmv_tpu.big import TiledSpmv
 from spmv_tpu.formats.sell import SellMatrix
 from spmv_tpu.oracle import (
     check_result,
@@ -25,12 +26,14 @@ from spmv_tpu.oracle import (
     seg_engine_scale,
 )
 
+from spmv_tpu.x2 import X2Matrix
+
 __version__ = "0.1.0"
 
 __all__ = [
     "FORMATS", "from_coo", "load", "spmv", "spmm",
     "COOMatrix", "CSRMatrix", "EllMatrix", "SellMatrix", "CMRSMatrix",
-    "HybMatrix",
+    "HybMatrix", "TiledSpmv", "X2Matrix",
     "golden_spmv", "check_result", "default_x", "fp32_rel_tol",
     "engine_rel_tol", "seg_engine_scale",
     "__version__",

@@ -45,10 +45,19 @@ def load(path: str, format: str = "csr", *, synth: dict | None = None, **kwargs)
     """Read a MatrixMarket file (or synthesize, if it is a git-LFS pointer —
     as the reference's bundled matrices are, or missing) and convert.
     ``synth`` kwargs go to :func:`spmv_tpu.synth.synthetic_cant`; the rest
-    to the format's ``from_coo``."""
+    to the format's ``from_coo``.
+
+    Matrices beyond the whole-x/whole-y VMEM budget (~1.5M rows+cols)
+    automatically route to the slab×panel-tiled single-chip container
+    (:class:`spmv_tpu.big.TiledSpmv`) — the reference's only size limit
+    was device RAM (``coo.c:116-120``), so is ours."""
+    from spmv_tpu.big import TiledSpmv, fits_single_kernel
     from spmv_tpu.io.mmio import read_path_or_synthesize
 
     info, rows, cols, vals = read_path_or_synthesize(path, **(synth or {}))
+    if not fits_single_kernel(info.nrows, info.ncols):
+        return TiledSpmv(format, info.nrows, info.ncols, rows, cols, vals,
+                         **kwargs)
     return from_coo(format, info.nrows, info.ncols, rows, cols, vals, **kwargs)
 
 

@@ -128,7 +128,8 @@ class _Prepared:
         if x0 is None:
             x0 = np.random.default_rng(0).standard_normal(
                 a.ncols).astype(np.float32)
-        self.x2d = x_to_table(x0, a.ncols)
+        xt = getattr(a, "x_table", None)  # f32x2 containers build (2S,128)
+        self.x2d = xt(x0) if xt is not None else x_to_table(x0, a.ncols)
         fa = _chained_loop(a, iters_a)
         _fetch(fa(self.x2d))  # compile
         # the calibration dispatch must be byte-unique: repeating the

@@ -116,6 +116,35 @@ def _cpu_comparison(info, rows, cols, vals, x, a) -> None:
           f"({'ok' if rep.ok else 'WRONG'})")
 
 
+def _run_x2(args, info, rows, cols, vals) -> int:
+    """run --dtype f32x2: double-single device SpMV validated at the
+    reference's fp64 tolerance (abs 1e-6, ``helper_functions.h:11``) —
+    the precision class the all-fp64 reference drivers compute in
+    (``coo.c:39-42``)."""
+    from spmv_tpu.oracle import check_result, golden_spmv
+    from spmv_tpu.x2 import X2Matrix
+
+    x = _make_x(args.x, info.ncols, args.seed).astype(np.float64)
+    try:
+        a = X2Matrix.from_coo(args.format, info.nrows, info.ncols,
+                              rows, cols, vals)
+        y = a.matvec(x)
+    except ValueError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return ReturnCode.PROGRAM_ERROR
+    except Exception as e:
+        print(f"kernel error: {type(e).__name__}: {e}", file=sys.stderr)
+        return ReturnCode.PROGRAM_ERROR
+    expected = golden_spmv(info.nrows, rows, cols, vals, x)
+    scale = golden_spmv(info.nrows, rows, cols, np.abs(vals), np.abs(x))
+    # error model: ~window·2⁻³⁸ ≪ row_abs·1e-9; abs floor = the
+    # reference's EPSILON
+    rep = check_result(expected, y, tol_abs=1e-6, tol_rel=1e-9, scale=scale)
+    print(f"{rep}  [f32x2]")
+    _cpu_comparison(info, rows, cols, vals, x, a)
+    return ReturnCode.SUCCESS if rep.ok else ReturnCode.VALIDATION_FAILED
+
+
 def cmd_run(args) -> int:
     import spmv_tpu
 
@@ -124,6 +153,9 @@ def cmd_run(args) -> int:
     except Exception as e:
         print(f"error reading {args.matrix}: {e}", file=sys.stderr)
         return ReturnCode.FILE_ERROR
+
+    if getattr(args, "dtype", "f32") == "f32x2":
+        return _run_x2(args, info, rows, cols, vals)
 
     rhs = max(int(getattr(args, "rhs", 1)), 1)
     try:
@@ -228,8 +260,23 @@ def cmd_bench(args) -> int:
         import jax
         prof = jax.profiler.trace(args.profile)
         print(f"writing profiler trace to {args.profile}", file=sys.stderr)
+    x2 = getattr(args, "dtype", "f32") == "f32x2"
+    if x2:
+        from spmv_tpu.x2 import X2_FORMATS, X2Matrix
+
+        formats = [f for f in formats if f in X2_FORMATS]
     with prof:
         for fmt in formats:
+            if x2:
+                a = X2Matrix.from_coo(fmt, info.nrows, info.ncols,
+                                      rows, cols, vals)
+                r = bench_format(a, f"{fmt}/x2", hbm_bw=bw)
+                results[f"{fmt}/x2"] = r.to_dict()
+                print(f"{fmt}/x2: {r.ms_per_spmv:7.3f} ms  "
+                      f"{r.gnnz_per_s:6.2f} Gnnz/s "
+                      f"{r.gflops:8.1f} GFLOP/s  {r.roofline_pct:4.1f}% "
+                      f"roofline (pad {r.padded_slots / max(r.nnz, 1):.2f}x)")
+                continue
             a = spmv_tpu.from_coo(fmt, info.nrows, info.ncols, rows, cols, vals)
             if rhs > 1 or fmt == "bsr":
                 from spmv_tpu.bench.runner import bench_spmm
@@ -319,6 +366,9 @@ def main(argv=None) -> int:
                    help="right-hand sides: >1 runs SpMM (Y = A @ X) — the "
                         "natural mode for --format bsr")
     r.add_argument("--seed", type=int, default=0)
+    r.add_argument("--dtype", default="f32", choices=["f32", "f32x2"],
+                   help="f32x2 = double-single device compute validated at "
+                        "the reference's abs 1e-6 EPSILON (fp64 parity)")
     r.add_argument("--bench", action="store_true")
     r.add_argument("--json", default="")
     r.set_defaults(fn=cmd_run)
@@ -335,6 +385,9 @@ def main(argv=None) -> int:
     b.add_argument("--rhs", type=int, default=1,
                    help="right-hand sides: >1 benches SpMM instead of SpMV "
                         "(bsr defaults to R=128 even without this flag)")
+    b.add_argument("--dtype", default="f32", choices=["f32", "f32x2"],
+                   help="f32x2 benches the double-single engines (csr/coo/"
+                        "cmrs/ell/sell)")
     b.add_argument("--profile", default="",
                    help="directory for a jax.profiler trace of the bench")
     b.add_argument("--json", default="")

@@ -68,12 +68,15 @@ def _check_fits(nrows: int, ncols: int) -> None:
             f"matrix ({nrows} x {ncols}) exceeds the single-chip VMEM budget "
             f"for the whole-y/whole-x resident design (~"
             f"{_VMEM_VECTOR_BUDGET // (4 * 1024 * 1024)}M rows+cols); "
-            "partition it with spmv_tpu.dist.RowShardedSpmv or "
-            "RingShardedSpmv")
+            "use the slab-x-panel tiled single-chip container "
+            "(spmv_tpu.big.TiledSpmv — spmv_tpu.load routes there "
+            "automatically) or partition over a mesh with "
+            "spmv_tpu.dist.RowShardedSpmv / RingShardedSpmv")
 
 
 def pick_geometry(tm_rows: int, pack: int = 4, seg: bool = True,
-                  nrows: int = 0, ncols: int = 0) -> tuple[int, int]:
+                  nrows: int = 0, ncols: int = 0,
+                  x2: bool = False) -> tuple[int, int]:
     """(chunk, NS) minimizing superchunk padding among geometries whose
     double-buffered stream blocks fit scoped VMEM next to the resident
     x/y vectors (a 786k-row matrix passed the old vector-only check, then
@@ -83,6 +86,8 @@ def pick_geometry(tm_rows: int, pack: int = 4, seg: bool = True,
     # per-step stream bytes across all arrays, double-buffered:
     # sc·128·(~5P+2 B/quad slot) per superchunk of sc rows
     bpq = (5 * pack + 2) if seg else (5 * pack + 1)
+    if x2:  # double-single: a second f32 value-plane set streams too
+        bpq += 4 * pack
 
     def fits(chunk, ns):
         return 2 * chunk * ns * LANES * bpq + vec <= _VMEM_LIMIT
@@ -223,19 +228,32 @@ class DevPanel:
     nrows: int
     ncols: int
     nnz: int
+    # double-single mode: the residual value planes (empty = f32 mode;
+    # the pytree treedef difference re-specializes the jitted kernels)
+    vals_lo: tuple = ()
 
     @classmethod
-    def from_plan(cls, p: PanelPlan) -> "DevPanel":
+    def from_plan(cls, p: PanelPlan, p_lo: PanelPlan | None = None
+                  ) -> "DevPanel":
         import jax.numpy as jnp
 
+        x2 = p_lo is not None
         _check_fits(p.nrows, p.ncols)
         chunk, ns = pick_geometry(p.vals.shape[0], p.pack, seg=False,
-                                  nrows=p.nrows, ncols=p.ncols)
+                                  nrows=p.nrows, ncols=p.ncols, x2=x2)
         d = split_packed_arrays(
             {"vals": p.vals, "lo": p.lo, "hi": p.hi,
              "row_block": p.row_block, "sub_base": p.sub_base},
             chunk, ns, p.pack, seg=False, nrows=p.nrows)
         kva = seg_kva(p.pack, ns)
+        vals_lo = ()
+        if x2:
+            dl = split_packed_arrays(
+                {"vals": p_lo.vals, "lo": p_lo.lo, "hi": p_lo.hi,
+                 "row_block": p_lo.row_block, "sub_base": p_lo.sub_base},
+                chunk, ns, p.pack, seg=False, nrows=p.nrows)
+            vals_lo = tuple(jnp.asarray(dl[f"vals{j}"])
+                            for j in range(p.pack * kva))
         return cls(
             vals=tuple(jnp.asarray(d[f"vals{j}"])
                        for j in range(p.pack * kva)),
@@ -246,7 +264,7 @@ class DevPanel:
             sub_base=jnp.asarray(d["sub_base"]),
             chunk=chunk, ns=ns, pack=p.pack,
             w_rows=d["w_rows"], out_rows=d["out_rows"],
-            nrows=p.nrows, ncols=p.ncols, nnz=p.nnz)
+            nrows=p.nrows, ncols=p.ncols, nnz=p.nnz, vals_lo=vals_lo)
 
     @property
     def kva(self) -> int:
@@ -262,7 +280,8 @@ class DevPanel:
 
     @property
     def stream_bytes(self) -> int:
-        arrs = list(self.vals) + list(self.lo) + [self.hi, self.meta]
+        arrs = (list(self.vals) + list(self.vals_lo) + list(self.lo)
+                + [self.hi, self.meta])
         return sum(int(np.prod(a.shape)) * a.dtype.itemsize for a in arrs)
 
 
@@ -283,19 +302,31 @@ class DevSeg:
     nrows: int
     ncols: int
     nnz: int
+    # double-single mode: the residual value planes (empty = f32 mode)
+    vals_lo: tuple = ()
 
     @classmethod
-    def from_plan(cls, p: SegPlan) -> "DevSeg":
+    def from_plan(cls, p: SegPlan, p_lo: SegPlan | None = None) -> "DevSeg":
         import jax.numpy as jnp
 
+        x2 = p_lo is not None
         _check_fits(p.nrows, p.ncols)
         chunk, ns = pick_geometry(p.vals.shape[0], p.pack, seg=True,
-                                  nrows=p.nrows, ncols=p.ncols)
+                                  nrows=p.nrows, ncols=p.ncols, x2=x2)
         d = split_packed_arrays(
             {"vals": p.vals, "lo": p.lo, "hi": p.hi, "gidx": p.gidx,
              "row_block": p.row_block, "sub_base": p.sub_base},
             chunk, ns, p.pack, seg=True, nrows=p.nrows)
         kva = seg_kva(p.pack, ns)
+        vals_lo = ()
+        if x2:
+            dl = split_packed_arrays(
+                {"vals": p_lo.vals, "lo": p_lo.lo, "hi": p_lo.hi,
+                 "gidx": p_lo.gidx, "row_block": p_lo.row_block,
+                 "sub_base": p_lo.sub_base},
+                chunk, ns, p.pack, seg=True, nrows=p.nrows)
+            vals_lo = tuple(jnp.asarray(dl[f"vals{j}"])
+                            for j in range(p.pack * kva))
         return cls(
             vals=tuple(jnp.asarray(d[f"vals{j}"])
                        for j in range(p.pack * kva)),
@@ -307,7 +338,7 @@ class DevSeg:
             sub_base=jnp.asarray(d["sub_base"]),
             chunk=chunk, ns=ns, pack=p.pack,
             w_rows=d["w_rows"], out_rows=d["out_rows"],
-            nrows=p.nrows, ncols=p.ncols, nnz=p.nnz)
+            nrows=p.nrows, ncols=p.ncols, nnz=p.nnz, vals_lo=vals_lo)
 
     @property
     def kva(self) -> int:
@@ -323,8 +354,8 @@ class DevSeg:
 
     @property
     def stream_bytes(self) -> int:
-        arrs = list(self.vals) + list(self.lo) + [self.hi, self.gidx,
-                                                  self.meta]
+        arrs = (list(self.vals) + list(self.vals_lo) + list(self.lo)
+                + [self.hi, self.gidx, self.meta])
         return sum(int(np.prod(a.shape)) * a.dtype.itemsize for a in arrs)
 
 
@@ -372,3 +403,20 @@ def x_to_table(x, ncols: int):
 def y_from_padded(y2d, nrows: int):
     """padded y (any 2-D layout) → (nrows,). jit-composable."""
     return y2d.reshape(-1)[:nrows]
+
+
+def x_to_table_x2(x, ncols: int) -> np.ndarray:
+    """Double-single x table: (2S, 128) f32 with the hi halves in rows
+    [0, S) and the residuals (x − f32(x), computed in f64 on host) in
+    rows [S, 2S).  The x2 kernels slice both windows per 8-row group."""
+    S = x_table_rows(ncols)
+    x64 = np.asarray(x, dtype=np.float64).reshape(-1)
+    if x64.shape[0] != ncols:
+        raise ValueError(
+            f"x has {x64.shape[0]} entries, matrix has {ncols} columns")
+    xh = x64.astype(np.float32)
+    xl = (x64 - xh.astype(np.float64)).astype(np.float32)
+    out = np.zeros((2 * S, LANES), dtype=np.float32)
+    out[:S].reshape(-1)[:ncols] = xh
+    out[S:].reshape(-1)[:ncols] = xl
+    return out
