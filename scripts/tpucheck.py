@@ -22,6 +22,8 @@ def main() -> int:
 
     import jax
 
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     backend = jax.default_backend()
     out = {"backend": backend, "devices": [str(d) for d in jax.devices()],
            "compiled": backend == "tpu", "checks": []}
@@ -56,6 +58,8 @@ def main() -> int:
                 y = np.asarray(a.matvec(x))
                 scale = row_abs
                 plan = getattr(a, "plan", None)
+                if plan is not None and not hasattr(plan, "gidx"):
+                    plan = getattr(a, "spill_plan", None)  # HYB
                 if plan is not None and hasattr(plan, "gidx"):
                     scale = seg_engine_scale(plan, x, row_abs)
                 rep = check_result(expected, y, tol_abs=1e-5, scale=scale,
@@ -72,6 +76,57 @@ def main() -> int:
                                       "ok": False, "error": str(e)})
                 ok_all = False
                 print(f"{cname:10s} {fmt:5s}: FAILED {e}", file=sys.stderr)
+
+    # f32x2 extended precision at the reference's abs 1e-6 EPSILON
+    # (helper_functions.h:11) — the fp64-parity capability rows.
+    from spmv_tpu.x2 import X2Matrix
+
+    info, r, c, v = cases["band"]
+    v64 = np.asarray(v, np.float64) * (1 + 1e-9 * np.arange(v.size))
+    x64 = np.random.default_rng(7).standard_normal(info.ncols)
+    A_x = golden_spmv(info.nrows, r, c, v64, x64)
+    for fmt in ("csr", "ell", "sell"):
+        try:
+            a = X2Matrix.from_coo(fmt, info.nrows, info.ncols, r, c, v64)
+            err = float(np.abs(a.matvec(x64) - A_x).max())
+            ok = err < 1e-6
+            out["checks"].append({"matrix": "band", "format": f"{fmt}/x2",
+                                  "ok": ok, "max_abs_err": err,
+                                  "tol_abs": 1e-6})
+            ok_all &= ok
+            print(f"band       {fmt}/x2: abs err {err:.3e} (tol 1e-6)",
+                  file=sys.stderr)
+        except Exception as e:  # noqa: BLE001
+            out["checks"].append({"matrix": "band", "format": f"{fmt}/x2",
+                                  "ok": False, "error": str(e)})
+            ok_all = False
+            print(f"band       {fmt}/x2: FAILED {e}", file=sys.stderr)
+
+    # beyond-VMEM tiled path, compiled on chip
+    try:
+        from spmv_tpu.big import TiledSpmv
+
+        info, r, c, v = cases["band"]
+        x = np.random.default_rng(8).standard_normal(
+            info.ncols).astype(np.float32)
+        t = TiledSpmv("csr", info.nrows, info.ncols, r, c, v,
+                      slab_rows=2048, panel_cols=2048)
+        rep = check_result(golden_spmv(info.nrows, r, c, v, x), t.matvec(x),
+                           tol_abs=1e-4, tol_rel=1e-4,
+                           scale=golden_spmv(info.nrows, r, c, np.abs(v),
+                                             np.abs(x)))
+        out["checks"].append({"matrix": "band", "format": "csr/tiled",
+                              "ok": bool(rep.ok),
+                              "max_abs_err": rep.max_abs_err,
+                              "tiles": [t.DR, t.DC]})
+        ok_all &= rep.ok
+        print(f"band       csr/tiled ({t.DR}x{t.DC}): {rep}",
+              file=sys.stderr)
+    except Exception as e:  # noqa: BLE001
+        out["checks"].append({"matrix": "band", "format": "csr/tiled",
+                              "ok": False, "error": str(e)})
+        ok_all = False
+        print(f"band       csr/tiled: FAILED {e}", file=sys.stderr)
 
     out["ok"] = ok_all
     path = f"TPUCHECK_r{rnd:02d}.json"

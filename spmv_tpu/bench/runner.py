@@ -293,10 +293,12 @@ def traffic_model(a) -> tuple[int, float]:
     array sizes — no modeling."""
     slots = a.dev.element_slots
     total = float(a.dev.stream_bytes)
+    total += float(getattr(a.dev, "aux_traffic_bytes", 0))  # partials pass
     spill = getattr(a, "dev_spill", None)
     if spill is not None:
         slots += spill.element_slots
         total += float(spill.stream_bytes)
+        total += float(getattr(spill, "aux_traffic_bytes", 0))
     total += float(getattr(a, "epilogue_bytes", 0))  # SELL unpermute pass
     return slots, total
 

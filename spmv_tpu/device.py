@@ -58,16 +58,24 @@ _VMEM_VECTOR_BUDGET = 12 * 1024 * 1024
 
 
 def _vector_bytes(nrows: int, ncols: int) -> int:
-    """VMEM-resident bytes of the padded x table + y."""
-    return 4 * (x_stripes(ncols) * LANES + cdiv(max(nrows, 1), LANES) * LANES)
+    """VMEM-resident vector bytes: the x table lives in the MAIN kernel,
+    y only in the scatter epilogue (streamed partials, DESIGN.md fact 9)
+    — they need to fit separately, not together."""
+    return 4 * max(x_stripes(ncols) * LANES,
+                   cdiv(max(nrows, 1), LANES) * LANES)
+
+
+def _x_table_bytes(ncols: int) -> int:
+    return 4 * x_stripes(ncols) * LANES
 
 
 def _check_fits(nrows: int, ncols: int) -> None:
     if _vector_bytes(nrows, ncols) > _VMEM_VECTOR_BUDGET:
         raise ValueError(
             f"matrix ({nrows} x {ncols}) exceeds the single-chip VMEM budget "
-            f"for the whole-y/whole-x resident design (~"
-            f"{_VMEM_VECTOR_BUDGET // (4 * 1024 * 1024)}M rows+cols); "
+            f"(resident x table in the main kernel / resident y in the "
+            f"scatter epilogue, ~{_VMEM_VECTOR_BUDGET // (4 * 1024 * 1024) * 2}M "
+            "rows or cols); "
             "use the slab-x-panel tiled single-chip container "
             "(spmv_tpu.big.TiledSpmv — spmv_tpu.load routes there "
             "automatically) or partition over a mesh with "
@@ -82,7 +90,7 @@ def pick_geometry(tm_rows: int, pack: int = 4, seg: bool = True,
     x/y vectors (a 786k-row matrix passed the old vector-only check, then
     OOMed compiling at 17 MB — the geometry must shrink as the vectors
     grow; P=8 blocks at (128,16) measured 21.04M > the 16M limit)."""
-    vec = _vector_bytes(nrows, ncols)
+    vec = _x_table_bytes(ncols)  # only x is resident in the main kernel
     # per-step stream bytes across all arrays, double-buffered:
     # sc·128·(~5P+2 B/quad slot) per superchunk of sc rows
     bpq = (5 * pack + 2) if seg else (5 * pack + 1)
@@ -284,6 +292,14 @@ class DevPanel:
                 + [self.hi, self.meta])
         return sum(int(np.prod(a.shape)) * a.dtype.itemsize for a in arrs)
 
+    @property
+    def aux_traffic_bytes(self) -> int:
+        """Streamed-partials epilogue traffic: the (nsc·W,128) window
+        partials write out of the main kernel and read back into the
+        scatter-add, plus the y write (DESIGN.md fact 9)."""
+        nsc = (self.vals[0].shape[0] * self.kva) // self.chunk
+        return (2 * nsc * self.w_rows + self.out_rows) * LANES * 4
+
 
 @dataclass(frozen=True)
 class DevSeg:
@@ -357,6 +373,12 @@ class DevSeg:
         arrs = (list(self.vals) + list(self.vals_lo) + list(self.lo)
                 + [self.hi, self.gidx, self.meta])
         return sum(int(np.prod(a.shape)) * a.dtype.itemsize for a in arrs)
+
+    @property
+    def aux_traffic_bytes(self) -> int:
+        """Streamed-partials epilogue traffic (see DevPanel)."""
+        nsc = (self.vals[0].shape[0] * self.kva) // self.chunk
+        return (2 * nsc * self.w_rows + self.out_rows) * LANES * 4
 
 
 def _register(cls, statics):

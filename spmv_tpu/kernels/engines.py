@@ -102,20 +102,56 @@ def _split_rowsum(R, p):
             + jnp.dot(R, plo, preferred_element_type=jnp.float32))
 
 
-def _window_accumulate(o_ref, pieces, meta_ref, base_ref, k: int, ns: int,
-                       chunk: int, W: int):
-    """Reduce a (chunk,128) sub-chunk into its y window: build
-    ``Rw[t,r] = (w[r]==t)`` from the streamed per-row target (one compare)
-    and land the whole sub-chunk with one MXU matmul + one dynamic RMW.
-    ``meta`` arrives blocked round_up(ns,8) rows per grid step (sub-chunk
-    k at block row k) so the row index is STATIC — Mosaic rejects dynamic
-    sublane offsets it cannot prove 8-aligned."""
+def _window_partial(op_ref, pieces, meta_ref, k: int, ns: int,
+                    chunk: int, W: int):
+    """Reduce a (chunk,128) sub-chunk into its (W,128) y-window partial:
+    build ``Rw[t,r] = (w[r]==t)`` from the streamed per-row target (one
+    compare), one MXU matmul, then a PURE STORE into the pipelined
+    partials output block (sub-chunk k at rows [k·W, (k+1)·W) — static,
+    8-aligned).  The round-3 ablation (DESIGN.md fact 9) measured the
+    old in-kernel dynamic ``o[ds(base,W)] +=`` RMW at ~130 GB/s of a
+    738 GB/s DMA ceiling — the RMW serialized against the next
+    sub-chunk's overlapping window — so the scatter-add into y moved to
+    the tiny ``_window_scatter`` epilogue kernel.  ``meta`` arrives
+    blocked round_up(ns,8) rows per grid step (sub-chunk k at block row
+    k) so the row index is STATIC — Mosaic rejects dynamic sublane
+    offsets it cannot prove 8-aligned."""
     wv = meta_ref[k : k + 1, 0:chunk].astype(jnp.int32)  # (1,chunk)
     tt = jax.lax.broadcasted_iota(jnp.int32, (W, chunk), 0)
     Rw = (jnp.broadcast_to(wv, (W, chunk)) == tt).astype(jnp.bfloat16)
-    parts = _split_rowsum(Rw, pieces)  # (W, 128)
-    base = base_ref[pl.program_id(0) * ns + k]
-    o_ref[pl.ds(base, W), :] += parts
+    op_ref[k * W : (k + 1) * W, :] = _split_rowsum(Rw, pieces)
+
+
+def _scatter_kernel(ns: int, W: int, base_ref, p_ref, o_ref):
+    """Epilogue: y[base_w[s] : base_w[s]+W] += partial_s.  One grid step
+    per main-kernel step (block = that step's ns partials); y stays
+    VMEM-resident.  Traffic: the partials stream once in, y once out —
+    ~2% of the plan stream."""
+    step = pl.program_id(0)
+
+    @pl.when(step == 0)
+    def _():
+        o_ref[:] = jnp.zeros_like(o_ref)
+
+    for k in range(ns):
+        base = base_ref[step * ns + k]
+        o_ref[pl.ds(base, W), :] += p_ref[k * W : (k + 1) * W, :]
+
+
+def _window_scatter(partials, base_w, ns: int, W: int, out_rows: int):
+    nsteps = partials.shape[0] // (ns * W)
+    return pl.pallas_call(
+        functools.partial(_scatter_kernel, ns, W),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(nsteps,),
+            in_specs=[pl.BlockSpec((ns * W, LANES), lambda i, *_: (i, 0),
+                                   memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        ),
+        out_shape=jax.ShapeDtypeStruct((out_rows, LANES), jnp.float32),
+        interpret=_interpret(),
+    )(base_w, partials)
 
 
 def _packed_products(k: int, ns: int, chunk: int, pack: int, kva: int,
@@ -156,36 +192,34 @@ def _packed_products(k: int, ns: int, chunk: int, pack: int, kva: int,
 
 
 def _panel_kernel(chunk: int, ns: int, kva: int, pack: int, W: int,
-                  base_ref, sub_base_ref, *refs):
+                  sub_base_ref, *refs):
     nv = pack * kva
     vals_refs = refs[:nv]
     lo_refs = refs[nv : nv + pack]
     hi_refs = refs[nv + pack : nv + pack + 1]
     meta_ref = refs[nv + pack + 1]
-    x_ref, o_ref = refs[-2], refs[-1]
+    x_ref, op_ref = refs[-2], refs[-1]
     step = pl.program_id(0)
-
-    @pl.when(step == 0)
-    def _():
-        o_ref[:] = jnp.zeros_like(o_ref)
 
     nsub = chunk // SUBLANES
     for k in range(ns):
         g0 = step * (ns * nsub) + k * nsub
         p = _packed_products(k, ns, chunk, pack, kva, vals_refs, lo_refs,
                              hi_refs, x_ref, sub_base_ref, g0)
-        _window_accumulate(o_ref, p, meta_ref, base_ref, k, ns, chunk, W)
+        _window_partial(op_ref, p, meta_ref, k, ns, chunk, W)
 
 
 @jax.jit
 def panel_spmv(dev, x2d):
     """Engine 1: y(out_rows, 128) = A·x over P-packed stripe-pure
     mini-panels (vs ``Ell.cl``'s workgroup-per-row tree reduction and
-    ``Sigma_C.cl``'s slice kernel)."""
+    ``Sigma_C.cl``'s slice kernel).  Window partials stream out of the
+    main kernel; ``_window_scatter`` folds them into y."""
     chunk, ns, kva, pack = dev.chunk, dev.ns, dev.kva, dev.pack
+    W = dev.w_rows
     TM = dev.vals[0].shape[0] * kva
-    kernel = functools.partial(_panel_kernel, chunk, ns, kva, pack,
-                               dev.w_rows)
+    nsteps = TM // (chunk * ns)
+    kernel = functools.partial(_panel_kernel, chunk, ns, kva, pack, W)
     in_specs = (
         [pl.BlockSpec((chunk * ns // kva, LANES), lambda i, *_: (i, 0),
                       memory_space=pltpu.VMEM)] * (pack * kva)
@@ -195,36 +229,35 @@ def panel_spmv(dev, x2d):
                         lambda i, *_: (i, 0), memory_space=pltpu.VMEM)]
         + [pl.BlockSpec(memory_space=pltpu.VMEM)]  # x table, resident
     )
-    return pl.pallas_call(
+    partials = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
-            grid=(TM // (chunk * ns),),
+            num_scalar_prefetch=1,
+            grid=(nsteps,),
             in_specs=in_specs,
-            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            out_specs=pl.BlockSpec((ns * W, LANES), lambda i, *_: (i, 0),
+                                   memory_space=pltpu.VMEM),
         ),
-        out_shape=jax.ShapeDtypeStruct((dev.out_rows, LANES), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((nsteps * ns * W, LANES),
+                                       jnp.float32),
         interpret=_interpret(),
-    )(dev.base_w, dev.sub_base, *dev.vals, *dev.lo, dev.hi, dev.meta, x2d)
+    )(dev.sub_base, *dev.vals, *dev.lo, dev.hi, dev.meta, x2d)
+    return _window_scatter(partials, dev.base_w, ns, W, dev.out_rows)
 
 
 # ---------------------------------------------------------------- engine 2
 
 
 def _seg_kernel(chunk: int, ns: int, kva: int, pack: int, W: int,
-                base_ref, sub_base_ref, *refs):
+                sub_base_ref, *refs):
     nv = pack * kva
     vals_refs = refs[:nv]  # plane-major: plane pp is [pp*kva, (pp+1)*kva)
     lo_refs = refs[nv : nv + pack]
     hi_refs = refs[nv + pack : nv + pack + 1]
     gidx_refs = refs[nv + pack + 1 : nv + pack + 2]
     meta_ref = refs[nv + pack + 2]
-    x_ref, o_ref = refs[-2], refs[-1]
+    x_ref, op_ref = refs[-2], refs[-1]
     step = pl.program_id(0)
-
-    @pl.when(step == 0)
-    def _():
-        o_ref[:] = jnp.zeros_like(o_ref)
 
     U = _triu_ones().astype(jnp.bfloat16)
     nsub = chunk // SUBLANES
@@ -241,14 +274,16 @@ def _seg_kernel(chunk: int, ns: int, kva: int, pack: int, W: int,
         # prefix difference stays exact with mid-quad segment boundaries.
         d = cs - c2
         gi = _chunk_slice(gidx_refs, k, ns, chunk).astype(jnp.int32)
-        # pidx = previous lid's filled gidx — a one-lane shift (gidx is a
-        # running max, so absent lids vanish as d[g]-d[g]).
-        pi = jnp.concatenate(
-            [jnp.zeros((chunk, 1), jnp.int32), gi[:, : LANES - 1]], axis=1)
-        pieces = (jnp.take_along_axis(d, gi, axis=1)
-                  - jnp.take_along_axis(d, pi, axis=1))
-        _window_accumulate(o_ref, pieces, meta_ref, base_ref, k, ns, chunk,
-                           W)
+        # pieces = d[gi] − d[shift(gi)].  Gathering at the shifted index
+        # equals shifting the gathered values (same per-row table), so ONE
+        # lane gather + a lane shift replaces two gathers (the gathers
+        # cost ~85 GB/s of the DMA ceiling, DESIGN.md fact 9).  Absent
+        # lids vanish as t−t (gidx is a running max); lane 0's bound is
+        # d[:,0] == 0 (the guaranteed zero pad).
+        t = jnp.take_along_axis(d, gi, axis=1)
+        ts = jnp.concatenate(
+            [jnp.zeros((chunk, 1), jnp.float32), t[:, : LANES - 1]], axis=1)
+        _window_partial(op_ref, t - ts, meta_ref, k, ns, chunk, W)
 
 
 @jax.jit
@@ -261,9 +296,10 @@ def segmented_spmv(dev, x2d):
     P=4, scripts/probe_pack.py) amortizes the triangular-prefix matmul
     over P elements per lane slot."""
     chunk, ns, kva, pack = dev.chunk, dev.ns, dev.kva, dev.pack
+    W = dev.w_rows
     TM = dev.vals[0].shape[0] * kva
-    kernel = functools.partial(_seg_kernel, chunk, ns, kva, pack,
-                               dev.w_rows)
+    nsteps = TM // (chunk * ns)
+    kernel = functools.partial(_seg_kernel, chunk, ns, kva, pack, W)
     in_specs = (
         [pl.BlockSpec((chunk * ns // kva, LANES), lambda i, *_: (i, 0),
                       memory_space=pltpu.VMEM)] * (pack * kva)
@@ -273,18 +309,20 @@ def segmented_spmv(dev, x2d):
                         lambda i, *_: (i, 0), memory_space=pltpu.VMEM)]
         + [pl.BlockSpec(memory_space=pltpu.VMEM)]  # x table, resident
     )
-    return pl.pallas_call(
+    partials = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
-            grid=(TM // (chunk * ns),),
+            num_scalar_prefetch=1,
+            grid=(nsteps,),
             in_specs=in_specs,
-            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            out_specs=pl.BlockSpec((ns * W, LANES), lambda i, *_: (i, 0),
+                                   memory_space=pltpu.VMEM),
         ),
-        out_shape=jax.ShapeDtypeStruct((dev.out_rows, LANES), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((nsteps * ns * W, LANES),
+                                       jnp.float32),
         interpret=_interpret(),
-    )(dev.base_w, dev.sub_base, *dev.vals, *dev.lo, dev.hi, dev.gidx,
-      dev.meta, x2d)
+    )(dev.sub_base, *dev.vals, *dev.lo, dev.hi, dev.gidx, dev.meta, x2d)
+    return _window_scatter(partials, dev.base_w, ns, W, dev.out_rows)
 
 
 # ------------------------------------------------------- permute epilogue

@@ -296,13 +296,14 @@ def _seg_kernel_x2(chunk: int, ns: int, kva: int, pack: int, W: int,
         # d = cs − c2 in double-single
         dh, de = _two_sum_acc(cs_h, cs_e - c2e, -c2h)
         gi = _chunk_slice(gidx_refs, k, ns, chunk).astype(jnp.int32)
-        pi = jnp.concatenate(
-            [jnp.zeros((chunk, 1), jnp.int32), gi[:, : LANES - 1]], axis=1)
-        ph2, pe2 = _two_sum_acc(
-            jnp.take_along_axis(dh, gi, axis=1),
-            jnp.take_along_axis(de, gi, axis=1)
-            - jnp.take_along_axis(de, pi, axis=1),
-            -jnp.take_along_axis(dh, pi, axis=1))
+        # one gather per half: gathering at the shifted index equals
+        # shifting the gathered values (see engines._seg_kernel)
+        th = jnp.take_along_axis(dh, gi, axis=1)
+        te = jnp.take_along_axis(de, gi, axis=1)
+        zc = jnp.zeros((chunk, 1), jnp.float32)
+        ths = jnp.concatenate([zc, th[:, : LANES - 1]], axis=1)
+        tes = jnp.concatenate([zc, te[:, : LANES - 1]], axis=1)
+        ph2, pe2 = _two_sum_acc(th, te - tes, -ths)
         _ds_window_accumulate(oh_ref, ol_ref, ph2, pe2, meta_ref, base_ref,
                               k, ns, chunk, W)
 

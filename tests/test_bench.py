@@ -45,12 +45,14 @@ def test_traffic_model_exact_bytes(small):
         a = spmv_tpu.from_coo(fmt, info.nrows, info.ncols, r, c, v)
         slots, total = traffic_model(a)
         assert slots == a.dev.element_slots
-        assert total == a.dev.stream_bytes
+        assert total == a.dev.stream_bytes + a.dev.aux_traffic_bytes
         bps = bytes_per_slot(a)
         p = a.dev.pack
         expected = (5 * p + 2) / p if streams == "seg" else (5 * p + 1) / p
-        # plus the windowed-reduction meta row (1 u8 per quad slot per chunk)
+        # plus the windowed-reduction meta row (1 u8 per quad slot per
+        # chunk) and the streamed-partials epilogue pass
         expected += int(np.prod(a.dev.meta.shape)) / a.dev.element_slots
+        expected += a.dev.aux_traffic_bytes / a.dev.element_slots
         assert bps == pytest.approx(expected)
 
 
@@ -60,13 +62,15 @@ def test_traffic_model_counts_hyb_spill_and_sell_epilogue():
     sell = spmv_tpu.from_coo("sell", info.nrows, info.ncols, r, c, v)
     assert sell.sorted_rows
     _, total = traffic_model(sell)
-    assert total == sell.dev.stream_bytes + sell.epilogue_bytes
+    assert total == (sell.dev.stream_bytes + sell.dev.aux_traffic_bytes
+                     + sell.epilogue_bytes)
 
     hyb = spmv_tpu.from_coo("hyb", info.nrows, info.ncols, r, c, v)
     _, total_h = traffic_model(hyb)
-    expected = float(hyb.dev.stream_bytes)
+    expected = float(hyb.dev.stream_bytes + hyb.dev.aux_traffic_bytes)
     if hyb.dev_spill is not None:
-        expected += float(hyb.dev_spill.stream_bytes)
+        expected += float(hyb.dev_spill.stream_bytes
+                          + hyb.dev_spill.aux_traffic_bytes)
     assert total_h == expected
 
 
@@ -100,8 +104,11 @@ def test_pick_geometry_scales_with_resident_vectors():
     from spmv_tpu.device import _VMEM_LIMIT, _vector_bytes, pick_geometry
 
     small = pick_geometry(100_000, 4, seg=True, nrows=62464, ncols=62464)
-    big = pick_geometry(100_000, 4, seg=True, nrows=786432, ncols=786432)
+    # with streamed partials only the x table is main-kernel-resident, so
+    # the squeeze point moved out to ~1.6M columns
+    big = pick_geometry(100_000, 4, seg=True, nrows=1_600_000,
+                        ncols=1_600_000)
     assert small == (128, 16)
     assert big[0] * big[1] < small[0] * small[1]
     stream = 2 * big[0] * big[1] * 128 * 22
-    assert stream + _vector_bytes(786432, 786432) <= _VMEM_LIMIT
+    assert stream + _vector_bytes(1, 1_600_000) <= _VMEM_LIMIT

@@ -47,8 +47,9 @@ def test_load_routes_over_budget(monkeypatch, tmp_path):
     import spmv_tpu.big as big
     import spmv_tpu.device as device
 
-    # full 3000x3000 needs ~24.5KB of resident vectors; 2048-row tiles ~16KB
-    monkeypatch.setattr(device, "_VMEM_VECTOR_BUDGET", 4 * 5000)
+    # full 3000x3000 needs ~12.3KB resident (max of x table / y);
+    # 2048-row tiles ~8.2KB
+    monkeypatch.setattr(device, "_VMEM_VECTOR_BUDGET", 4 * 2500)
     monkeypatch.setattr(big, "_TILE_VEC_BYTES", 4 * 4096)
     a = spmv_tpu.load(str(tmp_path / "missing.mtx"), "csr",
                       synth=dict(n=3000, avg_nnz_per_row=5, bandwidth=30,

@@ -168,7 +168,7 @@ def test_vmem_budget_guard():
     # whole-y/whole-x residency bounds single-chip matrix size; the error
     # must point at the distributed layer.
     with pytest.raises(ValueError, match="RowShardedSpmv"):
-        spmv_tpu.from_coo("csr", 3_000_000, 3_000_000, [0], [0], [1.0])
+        spmv_tpu.from_coo("csr", 8_000_000, 8_000_000, [0], [0], [1.0])
 
 
 @pytest.mark.parametrize("fmt", ["csr", "coo", "cmrs"])
