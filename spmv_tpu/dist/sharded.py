@@ -82,14 +82,19 @@ def _pad_rows(arr: np.ndarray, target: int) -> np.ndarray:
     return np.pad(arr, pad)
 
 
-def _unify_plans(plans):
+def _unify_plans(plans, plans_lo=None):
     """Pad per-shard plan arrays to one shape, pick a common device-stream
     geometry, split, and stack shard-major.  Pad rows are inert all-zero
     rows (they accumulate 0 into their window base).  Seg plans must share
     one pack P — the Spmv constructors choose it globally via
     ``seg_pack_for`` and pass it to every shard build; the windowed
     y-reduction height ``w_rows`` is likewise the max over shards so one
-    jitted kernel serves every device."""
+    jitted kernel serves every device.
+
+    ``plans_lo`` (double-single mode): per-shard residual-value plans
+    sharing the hi plans' layout exactly (the packed placement depends
+    only on the sparsity pattern — ``spmv_tpu.x2``); their value planes
+    split with the same geometry into ``vlo{j}`` arrays."""
     is_seg = hasattr(plans[0], "gidx")
     packs = {p.pack for p in plans}
     assert len(packs) == 1, f"shards disagree on pack: {packs}"
@@ -97,7 +102,8 @@ def _unify_plans(plans):
     names = ["vals", "lo", "hi"] + (["gidx"] if is_seg else [])
     tm = max(p.vals.shape[0] for p in plans)
     chunk, ns = pick_geometry(tm, pack, seg=is_seg,
-                              nrows=plans[0].nrows, ncols=plans[0].ncols)
+                              nrows=plans[0].nrows, ncols=plans[0].ncols,
+                              x2=plans_lo is not None)
     tm_dev = round_up(max(tm, chunk * ns), chunk * ns)
     from spmv_tpu.formats.base import SUBLANES, W_ALIGN
 
@@ -106,7 +112,7 @@ def _unify_plans(plans):
                      for p in plans), W_ALIGN), SUBLANES)
     stacked: dict[str, list] = {}
     statics = {}
-    for p in plans:
+    for i, p in enumerate(plans):
         arrays = {n: _pad_rows(getattr(p, n), tm) for n in names}
         arrays["row_block"] = p.row_block
         arrays["sub_base"] = p.sub_base
@@ -114,6 +120,17 @@ def _unify_plans(plans):
                                     nrows=p.nrows, w_rows=w_common)
         statics["w_rows"] = split.pop("w_rows")
         statics["out_rows"] = split.pop("out_rows")
+        if plans_lo is not None:
+            pl_ = plans_lo[i]
+            assert pl_.vals.shape == p.vals.shape, \
+                "x2 residual plan layout diverged from the hi plan"
+            arrays_lo = dict(arrays, vals=_pad_rows(pl_.vals, tm))
+            split_lo = split_packed_arrays(
+                arrays_lo, chunk, ns, pack, seg=is_seg, nrows=p.nrows,
+                w_rows=w_common)
+            for k, v in split_lo.items():
+                if k.startswith("vals"):
+                    split[f"vlo{k[4:]}"] = v
         for k, v in split.items():
             stacked.setdefault(k, []).append(v)
     return ({k: np.stack(v) for k, v in stacked.items()}, chunk, ns, is_seg,
@@ -134,6 +151,8 @@ def _make_dev(arrays: dict, statics: "_ShardStatics"):
                   w_rows=statics.w_rows, out_rows=statics.out_rows,
                   nrows=statics.rows_per_shard if statics.is_row else statics.nrows,
                   ncols=statics.ncols, nnz=0)
+    if "vlo0" in arrays:  # double-single residual value planes
+        common["vals_lo"] = tup("vlo", pack * kva)
     if statics.is_seg:
         return DevSeg(gidx=arrays["gidx"], **common)
     return DevPanel(**common)
@@ -152,6 +171,54 @@ class _ShardStatics:
     pack: int = 1
     w_rows: int = 8
     out_rows: int = 8
+    x2: bool = False
+
+
+def _x2_mode(dtype: str) -> bool:
+    if dtype not in ("f32", "f32x2"):
+        raise ValueError(f"dtype must be 'f32' or 'f32x2', got {dtype!r}")
+    return dtype == "f32x2"
+
+
+def _x2_shard_plans(format: str, nrows_pad: int, ncols: int, rows, cols,
+                    v64: np.ndarray, *, pack: int, sigma: int | None = None):
+    """One shard's (plan_hi, plan_lo, whi, idx, y_rows) in double-single
+    mode — the per-shard analog of ``x2.X2Matrix.from_coo`` (the residual
+    plan shares the hi plan's layout because packing depends only on the
+    sparsity pattern)."""
+    from spmv_tpu.formats.base import build_panel_plan, build_seg_plan
+
+    vh = v64.astype(np.float32)
+    vl = (v64 - vh.astype(np.float64)).astype(np.float32)
+    if format in ("csr", "coo", "cmrs"):
+        p = build_seg_plan(rows, cols, vh, nrows_pad, ncols, pack=pack)
+        p_lo = build_seg_plan(rows, cols, vl, nrows_pad, ncols, pack=p.pack)
+        return p, p_lo, None, None, nrows_pad
+    y_rows = nrows_pad
+    whi = idx = None
+    if format in ("sell", "sell_c_sigma"):
+        from spmv_tpu.formats.sell import DEFAULT_SIGMA, sigma_sort_tables
+
+        rows, _sorted, _perm, whi, idx, y_rows = sigma_sort_tables(
+            rows, cols, nrows_pad, ncols,
+            min(sigma or DEFAULT_SIGMA, nrows_pad))
+    p = build_panel_plan(rows, cols, vh, y_rows, ncols, pack=pack)
+    p_lo = build_panel_plan(rows, cols, vl, y_rows, ncols, pack=p.pack)
+    return p, p_lo, whi, idx, y_rows
+
+
+def _ds_add(h1, l1, h2, l2):
+    """Double-single (h1,l1) + (h2,l2): Knuth TwoSum on the heads, errors
+    folded into the tail, then a renormalizing quick-two-sum.  Runs in
+    XLA outside the kernels (cross-shard combines keep double-single
+    accuracy); XLA preserves f32 add/sub ordering, so the error terms
+    survive compilation."""
+    s = h1 + h2
+    v = s - h1
+    e = (h1 - (s - v)) + (h2 - v)
+    t = e + l1 + l2
+    h = s + t
+    return h, t - (h - s)
 
 
 class RowShardedSpmv:
@@ -161,14 +228,20 @@ class RowShardedSpmv:
     never crosses a slab boundary because σ ≤ 1024 ≤ the slab size)."""
 
     def __init__(self, format: str, nrows: int, ncols: int, rows, cols, vals,
-                 mesh: Mesh, *, gather_x: bool = True, **fmt_kwargs):
+                 mesh: Mesh, *, gather_x: bool = True, dtype: str = "f32",
+                 **fmt_kwargs):
         from spmv_tpu.api import FORMATS
 
         format = format.lower()
+        self.x2 = _x2_mode(dtype)
         if format in _UNSUPPORTED:
             raise NotImplementedError(
                 "sharded BSR not supported (block-dense container); "
                 "shard csr/coo/cmrs/ell/sell/hyb instead")
+        if self.x2 and format == "hyb":
+            raise NotImplementedError(
+                "f32x2 covers the five reference formats "
+                "(csr/coo/cmrs/ell/sell); HYB stays fp32")
         cls = FORMATS[format]
         self.is_sell = format in ("sell", "sell_c_sigma")
         self.is_hyb = format == "hyb"
@@ -178,7 +251,7 @@ class RowShardedSpmv:
         D = mesh.shape[self.axis]
         rows = np.asarray(rows, dtype=np.int64)
         cols = np.asarray(cols)
-        vals = np.asarray(vals)
+        vals = np.asarray(vals, dtype=np.float64 if self.x2 else None)
 
         # Every shard must build with the same packed-engine P — choose it
         # once from the full matrix's segment/width histograms.
@@ -195,16 +268,35 @@ class RowShardedSpmv:
                                   panel_pack_for(rows, cols, nrows, ncols))
 
         rps = round_up(max(cdiv(nrows, D), LANES), LANES)
-        shards = []
-        for d in range(D):
-            lo, hi = d * rps, (d + 1) * rps
-            sel = (rows >= lo) & (rows < hi)
-            shards.append(
-                cls.from_coo(rps, ncols, rows[sel] - lo, cols[sel], vals[sel],
-                             **fmt_kwargs)
-            )
-        arrays, chunk, ns, self.is_seg, pack, w_rows, out_rows = _unify_plans(
-            [s.plan for s in shards])
+        if self.x2:
+            pairs = []
+            whis, idxs = [], []
+            for d in range(D):
+                lo, hi = d * rps, (d + 1) * rps
+                sel = (rows >= lo) & (rows < hi)
+                p, p_lo, whi, idx, _y_rows = _x2_shard_plans(
+                    format, rps, ncols, rows[sel] - lo, cols[sel], vals[sel],
+                    pack=fmt_kwargs.get("pack"),
+                    sigma=fmt_kwargs.get("sigma"))
+                pairs.append((p, p_lo))
+                if whi is not None:
+                    whis.append(whi)
+                    idxs.append(idx)
+            (arrays, chunk, ns, self.is_seg, pack, w_rows,
+             out_rows) = _unify_plans([p for p, _ in pairs],
+                                      [pl_ for _, pl_ in pairs])
+            shards = None
+        else:
+            shards = []
+            for d in range(D):
+                lo, hi = d * rps, (d + 1) * rps
+                sel = (rows >= lo) & (rows < hi)
+                shards.append(
+                    cls.from_coo(rps, ncols, rows[sel] - lo, cols[sel],
+                                 vals[sel], **fmt_kwargs)
+                )
+            (arrays, chunk, ns, self.is_seg, pack, w_rows,
+             out_rows) = _unify_plans([s.plan for s in shards])
         self.st_spill = None
         if self.is_hyb:
             # HYB is a two-part plan: the panel part unified above, the
@@ -224,15 +316,20 @@ class RowShardedSpmv:
             )
         if self.is_sell:
             # per-shard epilogue metadata: every shard has the same row
-            # count, so the shapes already agree.
-            arrays["perm_whi"] = np.stack(
-                [np.asarray(s._perm_whi) for s in shards])
-            arrays["perm_idx"] = np.stack(
-                [np.asarray(s._perm_idx) for s in shards])
+            # count, so the shapes already agree (identity tables when a
+            # shard's adaptive σ kept natural order).
+            if self.x2:
+                arrays["perm_whi"] = np.stack(whis)
+                arrays["perm_idx"] = np.stack(idxs)
+            else:
+                arrays["perm_whi"] = np.stack(
+                    [np.asarray(s._perm_whi) for s in shards])
+                arrays["perm_idx"] = np.stack(
+                    [np.asarray(s._perm_idx) for s in shards])
         self.st = _ShardStatics(
             chunk=chunk, ns=ns, is_seg=self.is_seg, is_row=True,
             nrows=nrows, ncols=ncols, rows_per_shard=rps, n_shards=D,
-            pack=pack, w_rows=w_rows, out_rows=out_rows,
+            pack=pack, w_rows=w_rows, out_rows=out_rows, x2=self.x2,
         )
         self.gather_x = gather_x
         sharded = NamedSharding(mesh, P(self.axis))
@@ -252,6 +349,43 @@ class RowShardedSpmv:
         is_sell = self.is_sell
         names = list(self.arrays)
         nb = st.rows_per_shard // LANES
+
+        if st.x2:
+            from spmv_tpu.kernels.engines_x2 import (panel_spmv_x2,
+                                                     segmented_spmv_x2)
+
+            def shard_fn_x2(xh_local, xl_local, *plan):
+                a = dict(zip(names, (p[0] for p in plan)))
+                if gather_x:
+                    xh = jax.lax.all_gather(xh_local, axis, axis=0,
+                                            tiled=True)
+                    xl = jax.lax.all_gather(xl_local, axis, axis=0,
+                                            tiled=True)
+                else:
+                    xh, xl = xh_local, xl_local
+                x2d = jnp.concatenate([xh, xl], axis=0)
+                dev = _make_dev(a, st)
+                fn = segmented_spmv_x2 if st.is_seg else panel_spmv_x2
+                yh, yl = fn(dev, x2d)
+                yh, yl = yh[:nb], yl[:nb]
+                if is_sell:
+                    def ep(y):
+                        y2 = (jnp.pad(y, ((0, 8 - nb), (0, 0)))
+                              if nb < 8 else y)
+                        return inverse_permute_blocks(
+                            a["perm_whi"], a["perm_idx"],
+                            y2)[:, : nb * LANES]
+
+                    yh, yl = ep(yh), ep(yl)
+                return yh, yl
+
+            xspec = P(axis, None) if gather_x else P()
+            return jax.jit(shard_map(
+                shard_fn_x2, mesh=mesh,
+                in_specs=(xspec, xspec) + (P(axis),) * len(names),
+                out_specs=(P(axis, None), P(axis, None)),
+                check_vma=False,
+            ))
 
         def shard_fn(x_local, *plan):
             a = dict(zip(names, (p[0] for p in plan)))
@@ -293,6 +427,8 @@ class RowShardedSpmv:
         return jax.jit(fn)
 
     def matvec(self, x):
+        if self.x2:
+            return self._matvec_x2(x)
         xf = jnp.asarray(x, jnp.float32).reshape(-1)
         if xf.shape[0] != self.st.ncols:
             raise ValueError(
@@ -303,6 +439,32 @@ class RowShardedSpmv:
             x2d = put_sharded(
                 x2d, NamedSharding(self.mesh, P(self.axis, None)))
         y = self._fn(x2d, *self.arrays.values())
+        return y.reshape(-1)[: self.st.nrows]
+
+    def _matvec_x2(self, x):
+        """Double-single matvec: hi/lo x tables sharded separately, the
+        per-shard (y_hi, y_lo) halves combined exactly in fp64 on host
+        (row partition: no cross-shard reduction, so accuracy matches the
+        single-chip ``x2.X2Matrix``)."""
+        x64 = np.asarray(x, dtype=np.float64).reshape(-1)
+        if x64.shape[0] != self.st.ncols:
+            raise ValueError(
+                f"x has {x64.shape[0]} entries, matrix has "
+                f"{self.st.ncols} columns")
+        xh = x64.astype(np.float32)
+        xl = (x64 - xh.astype(np.float64)).astype(np.float32)
+
+        def table(v):
+            out = np.zeros(self.S * LANES, np.float32)
+            out[: v.size] = v
+            return jnp.asarray(out.reshape(self.S, LANES))
+
+        xh2d, xl2d = table(xh), table(xl)
+        if self.gather_x:
+            sh = NamedSharding(self.mesh, P(self.axis, None))
+            xh2d, xl2d = put_sharded(xh2d, sh), put_sharded(xl2d, sh)
+        yh, yl = self._fn(xh2d, xl2d, *self.arrays.values())
+        y = np.asarray(yh, np.float64) + np.asarray(yl, np.float64)
         return y.reshape(-1)[: self.st.nrows]
 
     __matmul__ = matvec
@@ -336,14 +498,19 @@ class ColShardedSpmv:
     plan like ``RowShardedSpmv``."""
 
     def __init__(self, format: str, nrows: int, ncols: int, rows, cols, vals,
-                 mesh: Mesh, **fmt_kwargs):
+                 mesh: Mesh, *, dtype: str = "f32", **fmt_kwargs):
         from spmv_tpu.api import FORMATS
 
         format = format.lower()
+        self.x2 = _x2_mode(dtype)
         if format in _UNSUPPORTED:
             raise NotImplementedError(
                 "column-sharded BSR not supported (block-dense container); "
                 "shard csr/coo/cmrs/ell/sell/hyb instead")
+        if self.x2 and format == "hyb":
+            raise NotImplementedError(
+                "f32x2 covers the five reference formats "
+                "(csr/coo/cmrs/ell/sell); HYB stays fp32")
         self.is_sell = format in ("sell", "sell_c_sigma")
         self.is_hyb = format == "hyb"
         cls = FORMATS[format]
@@ -353,7 +520,7 @@ class ColShardedSpmv:
         D = mesh.shape[self.axis]
         rows = np.asarray(rows, dtype=np.int64)
         cols = np.asarray(cols, dtype=np.int64)
-        vals = np.asarray(vals)
+        vals = np.asarray(vals, dtype=np.float64 if self.x2 else None)
 
         if format in ("csr", "coo", "cmrs") and "pack" not in fmt_kwargs:
             fmt_kwargs = dict(fmt_kwargs,
@@ -369,30 +536,48 @@ class ColShardedSpmv:
                                   panel_pack_for(rows, cols, nrows, ncols))
 
         self._perm_whi = self._perm_idx = None
+        self._x2_perm = None
         y_rows = nrows
         if self.is_sell:
             from spmv_tpu.formats.sell import DEFAULT_SIGMA, sigma_sort_tables
 
             sigma = fmt_kwargs.pop("sigma", None) or DEFAULT_SIGMA
-            rows, sorted_, _perm, whi, idx, y_rows = sigma_sort_tables(
+            rows, sorted_, perm, whi, idx, y_rows = sigma_sort_tables(
                 rows, cols, nrows, ncols, sigma)
             if sorted_:
                 self._perm_whi = jnp.asarray(whi)
                 self._perm_idx = jnp.asarray(idx)
+            if self.x2:
+                # host-side fp64 epilogue: perm maps sorted pos -> orig row
+                self._x2_perm = perm
             cls = FORMATS["ell"]  # shards: plain panels over sorted rows
             fmt_kwargs.pop("pack", None)
             fmt_kwargs["pack"] = panel_pack_for(rows, cols, y_rows, ncols)
         cps = round_up(max(cdiv(ncols, D), LANES), LANES)
-        shards = []
-        for d in range(D):
-            lo, hi = d * cps, (d + 1) * cps
-            sel = (cols >= lo) & (cols < hi)
-            shards.append(
-                cls.from_coo(y_rows, cps, rows[sel], cols[sel] - lo,
-                             vals[sel], **fmt_kwargs)
-            )
-        arrays, chunk, ns, self.is_seg, pack, w_rows, out_rows = _unify_plans(
-            [s.plan for s in shards])
+        if self.x2:
+            fmt = "ell" if self.is_sell else format  # sort already applied
+            pairs = []
+            for d in range(D):
+                lo, hi = d * cps, (d + 1) * cps
+                sel = (cols >= lo) & (cols < hi)
+                p, p_lo, _whi, _idx, _yr = _x2_shard_plans(
+                    fmt, y_rows, cps, rows[sel], cols[sel] - lo, vals[sel],
+                    pack=fmt_kwargs.get("pack"))
+                pairs.append((p, p_lo))
+            (arrays, chunk, ns, self.is_seg, pack, w_rows,
+             out_rows) = _unify_plans([p for p, _ in pairs],
+                                      [pl_ for _, pl_ in pairs])
+        else:
+            shards = []
+            for d in range(D):
+                lo, hi = d * cps, (d + 1) * cps
+                sel = (cols >= lo) & (cols < hi)
+                shards.append(
+                    cls.from_coo(y_rows, cps, rows[sel], cols[sel] - lo,
+                                 vals[sel], **fmt_kwargs)
+                )
+            (arrays, chunk, ns, self.is_seg, pack, w_rows,
+             out_rows) = _unify_plans([s.plan for s in shards])
         self.st_spill = None
         if self.is_hyb:
             from spmv_tpu.formats.base import _empty_seg
@@ -411,7 +596,7 @@ class ColShardedSpmv:
         self.st = _ShardStatics(
             chunk=chunk, ns=ns, is_seg=self.is_seg, is_row=False,
             nrows=y_rows, ncols=ncols, rows_per_shard=cps, n_shards=D,
-            pack=pack, w_rows=w_rows, out_rows=out_rows,
+            pack=pack, w_rows=w_rows, out_rows=out_rows, x2=self.x2,
         )
         self.true_nrows = nrows
         sharded = NamedSharding(mesh, P(self.axis))
@@ -428,6 +613,44 @@ class ColShardedSpmv:
         S_local = self.S_local
         names = list(self.arrays)
         nb = cdiv(st.nrows, LANES)
+
+        if st.x2:
+            from spmv_tpu.kernels.engines_x2 import (panel_spmv_x2,
+                                                     segmented_spmv_x2)
+            D = st.n_shards
+
+            def shard_fn_x2(xh_local, xl_local, *plan):
+                a = dict(zip(names, (p[0] for p in plan)))
+
+                def table(xf):
+                    xf = jnp.pad(xf[0], (0, S_local * LANES - xf.shape[1]))
+                    return xf.reshape(S_local, LANES)
+
+                x2d = jnp.concatenate([table(xh_local), table(xl_local)],
+                                      axis=0)
+                dev = _make_dev(a, st)
+                fn = segmented_spmv_x2 if st.is_seg else panel_spmv_x2
+                yh, yl = fn(dev, x2d)
+                yh, yl = yh[:nb], yl[:nb]
+                # Cross-shard partial-y reduction in double-single: psum
+                # would collapse each half to plain f32 sums, losing the
+                # compensated bits, so gather every shard's pair and fold
+                # with TwoSum (D is static; the unrolled chain stays exact
+                # because XLA preserves f32 add/sub ordering).
+                yhs = jax.lax.all_gather(yh, axis)
+                yls = jax.lax.all_gather(yl, axis)
+                h, l = yhs[0], yls[0]
+                for d in range(1, D):
+                    h, l = _ds_add(h, l, yhs[d], yls[d])
+                return h, l
+
+            return jax.jit(shard_map(
+                shard_fn_x2, mesh=mesh,
+                in_specs=(P(axis, None), P(axis, None))
+                + (P(axis),) * len(names),
+                out_specs=(P(), P()),
+                check_vma=False,
+            ))
 
         def shard_fn(x_local, *plan):
             a = dict(zip(names, (p[0] for p in plan)))
@@ -461,6 +684,8 @@ class ColShardedSpmv:
         return jax.jit(fn)
 
     def matvec(self, x):
+        if self.x2:
+            return self._matvec_x2(x)
         xf = jnp.asarray(x, jnp.float32).reshape(-1)
         if xf.shape[0] != self.st.ncols:
             raise ValueError(
@@ -478,6 +703,37 @@ class ColShardedSpmv:
                 y = jnp.pad(y, ((0, 8 - y.shape[0]), (0, 0)))
             y = inverse_permute_blocks(self._perm_whi, self._perm_idx, y)
         return y.reshape(-1)[: self.true_nrows]
+
+    def _matvec_x2(self, x):
+        """Double-single column-sharded matvec: hi/lo x slabs sharded,
+        per-shard (y_hi, y_lo) partials folded with TwoSum inside the
+        shard_map; the SELL unpermute (exact) runs host-side in fp64 via
+        the global σ-sort's ``perm``."""
+        x64 = np.asarray(x, dtype=np.float64).reshape(-1)
+        if x64.shape[0] != self.st.ncols:
+            raise ValueError(
+                f"x has {x64.shape[0]} entries, matrix has "
+                f"{self.st.ncols} columns")
+        xh = x64.astype(np.float32)
+        xl = (x64 - xh.astype(np.float64)).astype(np.float32)
+        D = self.st.n_shards
+
+        def slabs(v):
+            out = np.zeros(D * self.cps, np.float32)
+            out[: v.size] = v
+            return put_sharded(
+                jnp.asarray(out.reshape(D, self.cps)),
+                NamedSharding(self.mesh, P(self.axis, None)))
+
+        yh, yl = self._fn(slabs(xh), slabs(xl), *self.arrays.values())
+        y = (np.asarray(yh, np.float64)
+             + np.asarray(yl, np.float64)).reshape(-1)
+        if self._x2_perm is not None:
+            n = self._x2_perm.size
+            out = np.zeros(max(n, y.size), np.float64)
+            out[self._x2_perm] = y[:n]
+            y = out
+        return y[: self.true_nrows]
 
     __matmul__ = matvec
 

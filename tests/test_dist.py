@@ -145,3 +145,49 @@ def test_weak_scaling_analytic_model(mesh):
     # cant-scale slab (16384 rows/device, t1 ~ 60us measured on the chip)
     model = analytic_weak_scaling(60e-6, rows_per_device=16384)
     assert all(m["eff_no_overlap"] >= 0.8 for m in model)
+
+
+def _x2_data(n=700, seed=21):
+    """fp64-only mantissa content so an f32 cast cannot match the oracle."""
+    info, r, c, v = synth.synthetic_cant(n=n, avg_nnz_per_row=10,
+                                         bandwidth=50, seed=seed)
+    v = np.asarray(v, np.float64) * (1 + 1e-9 * np.arange(v.size))
+    x = np.random.default_rng(seed + 1).standard_normal(info.ncols)
+    A = np.zeros((info.nrows, info.ncols))
+    A[r, c] = v
+    return info, r, c, v, x, A @ x
+
+
+@pytest.mark.parametrize("fmt", ["csr", "cmrs", "ell", "sell"])
+@pytest.mark.parametrize("gather_x", [True, False])
+def test_row_sharded_x2(mesh, fmt, gather_x):
+    """Row-sharded double-single matches the fp64 oracle far beyond the
+    reference's abs 1e-6 EPSILON (row partition: no cross-shard sums, so
+    accuracy equals the single-chip X2Matrix)."""
+    info, r, c, v, x, yref = _x2_data()
+    a = RowShardedSpmv(fmt, info.nrows, info.ncols, r, c, v, mesh,
+                       gather_x=gather_x, dtype="f32x2")
+    err = np.abs(np.asarray(a.matvec(x)) - yref).max()
+    assert err < 1e-8, f"{fmt} gather_x={gather_x}: abs err {err:.3e}"
+
+
+@pytest.mark.parametrize("fmt", ["csr", "coo", "ell", "sell"])
+def test_col_sharded_x2(mesh, fmt):
+    """Column-sharded double-single: the cross-shard partial-y fold is a
+    TwoSum chain (not psum), so the compensated bits survive the
+    reduction and the result stays double-single grade."""
+    info, r, c, v, x, yref = _x2_data(n=900, seed=23)
+    a = ColShardedSpmv(fmt, info.nrows, info.ncols, r, c, v, mesh,
+                       dtype="f32x2")
+    err = np.abs(np.asarray(a.matvec(x)) - yref).max()
+    assert err < 1e-8, f"{fmt}: abs err {err:.3e}"
+
+
+def test_sharded_x2_rejects_bad_dtype(mesh):
+    info, r, c, v, x, _ = _x2_data(n=300, seed=2)
+    with pytest.raises(ValueError):
+        RowShardedSpmv("csr", info.nrows, info.ncols, r, c, v, mesh,
+                       dtype="f64")
+    with pytest.raises(NotImplementedError):
+        RowShardedSpmv("hyb", info.nrows, info.ncols, r, c, v, mesh,
+                       dtype="f32x2")
