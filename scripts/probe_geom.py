@@ -35,8 +35,11 @@ def main():
     print(f"plan: pack={plan.pack} TM={plan.vals.shape[0]} "
           f"pad={plan.padding_ratio:.2f}", file=sys.stderr)
 
-    geoms = [(256, 8, 2), (256, 8, 4), (512, 4, 2), (512, 4, 4),
-             (128, 16, 2), (256, 16, 2)]
+    # chunk ≤ 128: the windowed y-reduction meta plane stores one u8
+    # window target per row in a (TM/chunk, 128) stream — one meta row
+    # per sub-chunk (window_meta), so larger chunks no longer exist.
+    geoms = [(128, 16, 2), (128, 16, 4), (128, 8, 2), (128, 8, 4),
+             (128, 4, 4), (64, 2, 2)]
     if len(sys.argv) > 1:
         geoms = [tuple(map(int, g.split(","))) for g in sys.argv[1:]]
     objs = {}
@@ -48,9 +51,9 @@ def main():
             try:
                 d = split_packed_arrays(
                     {"vals": plan.vals, "lo": plan.lo, "hi": plan.hi,
-                     "gidx": plan.gidx, "sub_block": plan.sub_block,
+                     "gidx": plan.gidx, "row_block": plan.row_block,
                      "sub_base": plan.sub_base}, chunk, ns, plan.pack,
-                    seg=True)
+                    seg=True, nrows=plan.nrows)
             finally:
                 dm.seg_kva = orig
             dev = DevSeg(
@@ -59,9 +62,11 @@ def main():
                 lo=tuple(jnp.asarray(d[f"lo{j}"])
                          for j in range(plan.pack)),
                 hi=jnp.asarray(d["hi"]), gidx=jnp.asarray(d["gidx"]),
-                sub_block=jnp.asarray(d["sub_block"]),
+                meta=jnp.asarray(d["meta"]),
+                base_w=jnp.asarray(d["base_w"]),
                 sub_base=jnp.asarray(d["sub_base"]),
                 chunk=chunk, ns=ns, pack=plan.pack,
+                w_rows=d["w_rows"], out_rows=d["out_rows"],
                 nrows=plan.nrows, ncols=plan.ncols, nnz=plan.nnz)
             objs[f"c{chunk}n{ns}k{kva}"] = _W(dev)
         except Exception as e:

@@ -77,9 +77,19 @@ def spmm(a, X):
     point), so the loop is the honest implementation.
     """
     import jax.numpy as jnp
+    import numpy as np
 
     if hasattr(a, "matmat"):
         return a.matmat(X)
+    if getattr(a, "x2", False):
+        # double-single containers take fp64 x and return fp64 y — an
+        # f32 cast here would zero every residual (xl == 0) and silently
+        # collapse the documented ~window·2⁻³⁸ accuracy to f32 grade
+        X = np.asarray(X, np.float64)
+        if X.ndim != 2 or X.shape[0] != a.ncols:
+            raise ValueError(f"X must be ({a.ncols}, R), got {X.shape}")
+        return np.stack([np.asarray(a.matvec(X[:, j]))
+                         for j in range(X.shape[1])], axis=1)
     X = jnp.asarray(X, jnp.float32)
     if X.ndim != 2 or X.shape[0] != a.ncols:
         raise ValueError(f"X must be ({a.ncols}, R), got {X.shape}")

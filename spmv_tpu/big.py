@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import numpy as np
 
+from spmv_tpu.device import x_table_rows
 from spmv_tpu.formats.base import LANES, cdiv, round_up
 
 __all__ = ["TiledSpmv", "fits_single_kernel"]
@@ -118,7 +119,7 @@ class TiledSpmv:
             nrows=nrows, ncols=ncols, rows_per_shard=rps, n_shards=DC,
             pack=pack, w_rows=w_rows, out_rows=out_rows)
         self.nnz = rows.size
-        self.S_local = max(cps // LANES, 8)
+        self.S_local = x_table_rows(cps)
         self._slab_fn = self._build()
 
     def _build(self):

@@ -124,25 +124,59 @@ def _run_x2(args, info, rows, cols, vals) -> int:
     from spmv_tpu.oracle import check_result, golden_spmv
     from spmv_tpu.x2 import X2Matrix
 
-    x = _make_x(args.x, info.ncols, args.seed).astype(np.float64)
+    rhs = max(int(getattr(args, "rhs", 1)), 1)
     try:
         a = X2Matrix.from_coo(args.format, info.nrows, info.ncols,
                               rows, cols, vals)
-        y = a.matvec(x)
+        if rhs > 1:
+            import spmv_tpu
+
+            X = np.stack([_make_x(args.x, info.ncols, args.seed + j)
+                          .astype(np.float64) for j in range(rhs)], axis=1)
+            Y = np.asarray(spmv_tpu.spmm(a, X))
+        else:
+            x = _make_x(args.x, info.ncols, args.seed).astype(np.float64)
+            y = a.matvec(x)
     except ValueError as e:
         print(f"error: {e}", file=sys.stderr)
         return ReturnCode.PROGRAM_ERROR
     except Exception as e:
         print(f"kernel error: {type(e).__name__}: {e}", file=sys.stderr)
         return ReturnCode.PROGRAM_ERROR
-    expected = golden_spmv(info.nrows, rows, cols, vals, x)
-    scale = golden_spmv(info.nrows, rows, cols, np.abs(vals), np.abs(x))
-    # error model: ~window·2⁻³⁸ ≪ row_abs·1e-9; abs floor = the
-    # reference's EPSILON
-    rep = check_result(expected, y, tol_abs=1e-6, tol_rel=1e-9, scale=scale)
-    print(f"{rep}  [f32x2]")
-    _cpu_comparison(info, rows, cols, vals, x, a)
-    return ReturnCode.SUCCESS if rep.ok else ReturnCode.VALIDATION_FAILED
+
+    def verdict_x2(xj, yj):
+        expected = golden_spmv(info.nrows, rows, cols, vals, xj)
+        scale = golden_spmv(info.nrows, rows, cols, np.abs(vals), np.abs(xj))
+        # error model: ~window·2⁻³⁸ ≪ row_abs·1e-9; abs floor = the
+        # reference's EPSILON
+        return check_result(expected, yj, tol_abs=1e-6, tol_rel=1e-9,
+                            scale=scale)
+
+    if rhs > 1:
+        reps = [verdict_x2(X[:, j], Y[:, j]) for j in range(rhs)]
+        bad = next((j for j, r in enumerate(reps) if not r.ok), None)
+        if bad is not None:
+            print(f"{reps[bad]}  [f32x2, column {bad} of {rhs} "
+                  "right-hand sides]")
+        else:
+            print(f"{reps[-1]}  [f32x2, {rhs} right-hand sides]")
+        ok = bad is None
+    else:
+        rep = verdict_x2(x, y)
+        print(f"{rep}  [f32x2]")
+        _cpu_comparison(info, rows, cols, vals, x, a)
+        ok = rep.ok
+
+    if args.bench:
+        from spmv_tpu.bench.runner import bench_format
+        r = bench_format(a, f"{args.format}/x2")
+        print(f"{r.ms_per_spmv:.3f} ms/SpMV  {r.gnnz_per_s:.2f} Gnnz/s  "
+              f"{r.gflops:.1f} GFLOP/s  {r.effective_gbps:.0f} GB/s "
+              f"effective ({r.roofline_pct:.1f}% of roofline)")
+        if args.json:
+            with open(args.json, "w") as f:
+                json.dump(r.to_dict(), f, indent=2)
+    return ReturnCode.SUCCESS if ok else ReturnCode.VALIDATION_FAILED
 
 
 def cmd_run(args) -> int:

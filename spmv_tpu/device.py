@@ -57,29 +57,39 @@ _VMEM_LIMIT = 14 * 1024 * 1024
 _VMEM_VECTOR_BUDGET = 12 * 1024 * 1024
 
 
-def _vector_bytes(nrows: int, ncols: int) -> int:
-    """VMEM-resident vector bytes: the x table lives in the MAIN kernel,
-    y only in the scatter epilogue (streamed partials, DESIGN.md fact 9)
-    — they need to fit separately, not together."""
-    return 4 * max(x_stripes(ncols) * LANES,
-                   cdiv(max(nrows, 1), LANES) * LANES)
+def _vector_bytes(nrows: int, ncols: int, x2: bool = False) -> int:
+    """VMEM-resident vector bytes.  f32: the x table lives in the MAIN
+    kernel, y only in the scatter epilogue (streamed partials, DESIGN.md
+    fact 9) — they need to fit separately, not together.  f32x2: the x2
+    kernels hold the (2S, 128) hi∥lo x table AND both (out_rows, 128)
+    y halves resident simultaneously (no streamed-partials variant), so
+    everything must fit together."""
+    y_bytes = 4 * cdiv(max(nrows, 1), LANES) * LANES
+    if x2:
+        return 2 * (_x_table_bytes(ncols) + y_bytes)
+    return max(_x_table_bytes(ncols), y_bytes)
 
 
 def _x_table_bytes(ncols: int) -> int:
     return 4 * x_stripes(ncols) * LANES
 
 
-def _check_fits(nrows: int, ncols: int) -> None:
-    if _vector_bytes(nrows, ncols) > _VMEM_VECTOR_BUDGET:
+def _check_fits(nrows: int, ncols: int, x2: bool = False) -> None:
+    if _vector_bytes(nrows, ncols, x2) > _VMEM_VECTOR_BUDGET:
+        mode = " in f32x2 mode (hi∥lo x table + both y halves resident " \
+               "together — roughly a quarter of the f32 capacity)" \
+            if x2 else ""
         raise ValueError(
-            f"matrix ({nrows} x {ncols}) exceeds the single-chip VMEM budget "
+            f"matrix ({nrows} x {ncols}) exceeds the single-chip VMEM "
+            f"budget{mode} "
             f"(resident x table in the main kernel / resident y in the "
             f"scatter epilogue, ~{_VMEM_VECTOR_BUDGET // (4 * 1024 * 1024) * 2}M "
             "rows or cols); "
             "use the slab-x-panel tiled single-chip container "
             "(spmv_tpu.big.TiledSpmv — spmv_tpu.load routes there "
             "automatically) or partition over a mesh with "
-            "spmv_tpu.dist.RowShardedSpmv / RingShardedSpmv")
+            "spmv_tpu.dist.RowShardedSpmv / RingShardedSpmv"
+            + (" (both shardings take dtype='f32x2')" if x2 else ""))
 
 
 def pick_geometry(tm_rows: int, pack: int = 4, seg: bool = True,
@@ -90,7 +100,9 @@ def pick_geometry(tm_rows: int, pack: int = 4, seg: bool = True,
     x/y vectors (a 786k-row matrix passed the old vector-only check, then
     OOMed compiling at 17 MB — the geometry must shrink as the vectors
     grow; P=8 blocks at (128,16) measured 21.04M > the 16M limit)."""
-    vec = _x_table_bytes(ncols)  # only x is resident in the main kernel
+    # f32: only x is resident in the main kernel; f32x2: the 2S-row
+    # table and both y halves are (see _vector_bytes)
+    vec = _vector_bytes(nrows, ncols, x2) if x2 else _x_table_bytes(ncols)
     # per-step stream bytes across all arrays, double-buffered:
     # sc·128·(~5P+2 B/quad slot) per superchunk of sc rows
     bpq = (5 * pack + 2) if seg else (5 * pack + 1)
@@ -220,6 +232,25 @@ def split_packed_arrays(arrays: dict, chunk: int, ns: int, pack: int,
     return out
 
 
+def split_vals_planes(vals: np.ndarray, chunk: int, ns: int,
+                      pack: int) -> dict:
+    """Split ONLY the value planes of a residual (f32x2 lo) plan into
+    ``vals{j}`` arrays.  The residual plan's index/meta streams are
+    byte-identical to the hi plan's (packing depends only on the sparsity
+    pattern), so a second full ``split_packed_arrays`` would re-derive
+    and discard them — doubling host conversion cost at scale."""
+    sc = chunk * ns
+    tm = round_up(max(vals.shape[0], sc), sc)
+    kva = seg_kva(pack, ns)
+    out = {}
+    v = _pad_rows(vals, tm)
+    for pp in range(pack):
+        for j, part in enumerate(split_stream(
+                np.ascontiguousarray(v[:, pp, :]), sc, kva)):
+            out[f"vals{pp * kva + j}"] = part
+    return out
+
+
 @dataclass(frozen=True)
 class DevPanel:
     vals: tuple  # P·kva × (TM/kva, 128) f32, plane-major
@@ -246,7 +277,7 @@ class DevPanel:
         import jax.numpy as jnp
 
         x2 = p_lo is not None
-        _check_fits(p.nrows, p.ncols)
+        _check_fits(p.nrows, p.ncols, x2=x2)
         chunk, ns = pick_geometry(p.vals.shape[0], p.pack, seg=False,
                                   nrows=p.nrows, ncols=p.ncols, x2=x2)
         d = split_packed_arrays(
@@ -256,10 +287,7 @@ class DevPanel:
         kva = seg_kva(p.pack, ns)
         vals_lo = ()
         if x2:
-            dl = split_packed_arrays(
-                {"vals": p_lo.vals, "lo": p_lo.lo, "hi": p_lo.hi,
-                 "row_block": p_lo.row_block, "sub_base": p_lo.sub_base},
-                chunk, ns, p.pack, seg=False, nrows=p.nrows)
+            dl = split_vals_planes(p_lo.vals, chunk, ns, p.pack)
             vals_lo = tuple(jnp.asarray(dl[f"vals{j}"])
                             for j in range(p.pack * kva))
         return cls(
@@ -326,7 +354,7 @@ class DevSeg:
         import jax.numpy as jnp
 
         x2 = p_lo is not None
-        _check_fits(p.nrows, p.ncols)
+        _check_fits(p.nrows, p.ncols, x2=x2)
         chunk, ns = pick_geometry(p.vals.shape[0], p.pack, seg=True,
                                   nrows=p.nrows, ncols=p.ncols, x2=x2)
         d = split_packed_arrays(
@@ -336,11 +364,7 @@ class DevSeg:
         kva = seg_kva(p.pack, ns)
         vals_lo = ()
         if x2:
-            dl = split_packed_arrays(
-                {"vals": p_lo.vals, "lo": p_lo.lo, "hi": p_lo.hi,
-                 "gidx": p_lo.gidx, "row_block": p_lo.row_block,
-                 "sub_base": p_lo.sub_base},
-                chunk, ns, p.pack, seg=True, nrows=p.nrows)
+            dl = split_vals_planes(p_lo.vals, chunk, ns, p.pack)
             vals_lo = tuple(jnp.asarray(dl[f"vals{j}"])
                             for j in range(p.pack * kva))
         return cls(

@@ -23,6 +23,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
+from spmv_tpu.device import x_table_rows
 from spmv_tpu.dist.sharded import (_ShardStatics, _make_dev, _unify_plans,
                                     put_sharded)
 from spmv_tpu.formats.base import LANES, cdiv, round_up
@@ -139,7 +140,7 @@ class RingShardedSpmv:
         self.arrays = {
             k: put_sharded(v, sharded) for k, v in arrays.items()
         }
-        self.S_local = max(cps // LANES, 8)
+        self.S_local = x_table_rows(cps)
         self._fn = self._build()
 
     def _build(self):

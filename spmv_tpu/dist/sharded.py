@@ -38,6 +38,7 @@ from spmv_tpu.device import (
     pick_geometry,
     seg_kva,
     split_packed_arrays,
+    split_vals_planes,
     window_span,
     x_table_rows,
 )
@@ -124,13 +125,10 @@ def _unify_plans(plans, plans_lo=None):
             pl_ = plans_lo[i]
             assert pl_.vals.shape == p.vals.shape, \
                 "x2 residual plan layout diverged from the hi plan"
-            arrays_lo = dict(arrays, vals=_pad_rows(pl_.vals, tm))
-            split_lo = split_packed_arrays(
-                arrays_lo, chunk, ns, pack, seg=is_seg, nrows=p.nrows,
-                w_rows=w_common)
+            split_lo = split_vals_planes(_pad_rows(pl_.vals, tm),
+                                         chunk, ns, pack)
             for k, v in split_lo.items():
-                if k.startswith("vals"):
-                    split[f"vlo{k[4:]}"] = v
+                split[f"vlo{k[4:]}"] = v
         for k, v in split.items():
             stacked.setdefault(k, []).append(v)
     return ({k: np.stack(v) for k, v in stacked.items()}, chunk, ns, is_seg,
@@ -149,7 +147,9 @@ def _make_dev(arrays: dict, statics: "_ShardStatics"):
                   base_w=arrays["base_w"], sub_base=arrays["sub_base"],
                   chunk=statics.chunk, ns=ns, pack=pack,
                   w_rows=statics.w_rows, out_rows=statics.out_rows,
-                  nrows=statics.rows_per_shard if statics.is_row else statics.nrows,
+                  nrows=((statics.rows_pad_per_shard
+                          or statics.rows_per_shard)
+                         if statics.is_row else statics.nrows),
                   ncols=statics.ncols, nnz=0)
     if "vlo0" in arrays:  # double-single residual value planes
         common["vals_lo"] = tup("vlo", pack * kva)
@@ -172,6 +172,12 @@ class _ShardStatics:
     w_rows: int = 8
     out_rows: int = 8
     x2: bool = False
+    # SELL row shards: plan rows per shard after σ-padding (0 = same as
+    # rows_per_shard).  The sorted y must keep ALL these blocks through
+    # the unpermute epilogue — truncating to rows_per_shard first reads
+    # clamped windows and corrupts every block ≥ rows_per_shard//128
+    # whenever σ ∤ rows_per_shard > 1024.
+    rows_pad_per_shard: int = 0
 
 
 def _x2_mode(dtype: str) -> bool:
@@ -180,19 +186,25 @@ def _x2_mode(dtype: str) -> bool:
     return dtype == "f32x2"
 
 
+_X2_SHARD_KWARGS = {"pack", "sigma", "chunk"}
+
+
 def _x2_shard_plans(format: str, nrows_pad: int, ncols: int, rows, cols,
-                    v64: np.ndarray, *, pack: int, sigma: int | None = None):
+                    v64: np.ndarray, *, pack: int, sigma: int | None = None,
+                    chunk: int | None = None):
     """One shard's (plan_hi, plan_lo, whi, idx, y_rows) in double-single
     mode — the per-shard analog of ``x2.X2Matrix.from_coo`` (the residual
     plan shares the hi plan's layout because packing depends only on the
     sparsity pattern)."""
     from spmv_tpu.formats.base import build_panel_plan, build_seg_plan
 
+    ck = {} if chunk is None else {"chunk": chunk}
     vh = v64.astype(np.float32)
     vl = (v64 - vh.astype(np.float64)).astype(np.float32)
     if format in ("csr", "coo", "cmrs"):
-        p = build_seg_plan(rows, cols, vh, nrows_pad, ncols, pack=pack)
-        p_lo = build_seg_plan(rows, cols, vl, nrows_pad, ncols, pack=p.pack)
+        p = build_seg_plan(rows, cols, vh, nrows_pad, ncols, pack=pack, **ck)
+        p_lo = build_seg_plan(rows, cols, vl, nrows_pad, ncols,
+                              pack=p.pack, **ck)
         return p, p_lo, None, None, nrows_pad
     y_rows = nrows_pad
     whi = idx = None
@@ -202,8 +214,8 @@ def _x2_shard_plans(format: str, nrows_pad: int, ncols: int, rows, cols,
         rows, _sorted, _perm, whi, idx, y_rows = sigma_sort_tables(
             rows, cols, nrows_pad, ncols,
             min(sigma or DEFAULT_SIGMA, nrows_pad))
-    p = build_panel_plan(rows, cols, vh, y_rows, ncols, pack=pack)
-    p_lo = build_panel_plan(rows, cols, vl, y_rows, ncols, pack=p.pack)
+    p = build_panel_plan(rows, cols, vh, y_rows, ncols, pack=pack, **ck)
+    p_lo = build_panel_plan(rows, cols, vl, y_rows, ncols, pack=p.pack, **ck)
     return p, p_lo, whi, idx, y_rows
 
 
@@ -242,6 +254,10 @@ class RowShardedSpmv:
             raise NotImplementedError(
                 "f32x2 covers the five reference formats "
                 "(csr/coo/cmrs/ell/sell); HYB stays fp32")
+        if self.x2 and not set(fmt_kwargs) <= _X2_SHARD_KWARGS:
+            raise ValueError(
+                f"f32x2 sharding honors {sorted(_X2_SHARD_KWARGS)}; got "
+                f"{sorted(set(fmt_kwargs) - _X2_SHARD_KWARGS)}")
         cls = FORMATS[format]
         self.is_sell = format in ("sell", "sell_c_sigma")
         self.is_hyb = format == "hyb"
@@ -268,17 +284,18 @@ class RowShardedSpmv:
                                   panel_pack_for(rows, cols, nrows, ncols))
 
         rps = round_up(max(cdiv(nrows, D), LANES), LANES)
+        rps_pad = rps  # SELL σ-pads each shard's plan rows below
         if self.x2:
             pairs = []
             whis, idxs = [], []
             for d in range(D):
                 lo, hi = d * rps, (d + 1) * rps
                 sel = (rows >= lo) & (rows < hi)
-                p, p_lo, whi, idx, _y_rows = _x2_shard_plans(
+                p, p_lo, whi, idx, y_rows = _x2_shard_plans(
                     format, rps, ncols, rows[sel] - lo, cols[sel], vals[sel],
-                    pack=fmt_kwargs.get("pack"),
-                    sigma=fmt_kwargs.get("sigma"))
+                    **{k: fmt_kwargs.get(k) for k in _X2_SHARD_KWARGS})
                 pairs.append((p, p_lo))
+                rps_pad = y_rows  # same for every shard (f(rps, σ))
                 if whi is not None:
                     whis.append(whi)
                     idxs.append(idx)
@@ -297,6 +314,8 @@ class RowShardedSpmv:
                 )
             (arrays, chunk, ns, self.is_seg, pack, w_rows,
              out_rows) = _unify_plans([s.plan for s in shards])
+            if self.is_sell:
+                rps_pad = shards[0].plan.nrows
         self.st_spill = None
         if self.is_hyb:
             # HYB is a two-part plan: the panel part unified above, the
@@ -330,6 +349,7 @@ class RowShardedSpmv:
             chunk=chunk, ns=ns, is_seg=self.is_seg, is_row=True,
             nrows=nrows, ncols=ncols, rows_per_shard=rps, n_shards=D,
             pack=pack, w_rows=w_rows, out_rows=out_rows, x2=self.x2,
+            rows_pad_per_shard=rps_pad,
         )
         self.gather_x = gather_x
         sharded = NamedSharding(mesh, P(self.axis))
@@ -349,6 +369,10 @@ class RowShardedSpmv:
         is_sell = self.is_sell
         names = list(self.arrays)
         nb = st.rows_per_shard // LANES
+        # SELL: σ-padded sorted blocks per shard — the epilogue must see
+        # ALL of them (its whi windows span [0, nb_pad)); slice to the
+        # shard's nb real blocks only after the unpermute.
+        nb_pad = (st.rows_pad_per_shard or st.rows_per_shard) // LANES
 
         if st.x2:
             from spmv_tpu.kernels.engines_x2 import (panel_spmv_x2,
@@ -367,16 +391,18 @@ class RowShardedSpmv:
                 dev = _make_dev(a, st)
                 fn = segmented_spmv_x2 if st.is_seg else panel_spmv_x2
                 yh, yl = fn(dev, x2d)
-                yh, yl = yh[:nb], yl[:nb]
                 if is_sell:
                     def ep(y):
-                        y2 = (jnp.pad(y, ((0, 8 - nb), (0, 0)))
-                              if nb < 8 else y)
+                        y2 = y[:nb_pad]
+                        if nb_pad < 8:
+                            y2 = jnp.pad(y2, ((0, 8 - nb_pad), (0, 0)))
                         return inverse_permute_blocks(
                             a["perm_whi"], a["perm_idx"],
                             y2)[:, : nb * LANES]
 
                     yh, yl = ep(yh), ep(yl)
+                else:
+                    yh, yl = yh[:nb], yl[:nb]
                 return yh, yl
 
             xspec = P(axis, None) if gather_x else P()
@@ -408,13 +434,14 @@ class RowShardedSpmv:
                 if ys.shape[0] < n:
                     ys = jnp.pad(ys, ((0, n - ys.shape[0]), (0, 0)))
                 y = y + ys
-            y = y[:nb]
             if is_sell:
-                y2 = y
-                if nb < 8:  # epilogue windows always slice 8 table rows
-                    y2 = jnp.pad(y2, ((0, 8 - nb), (0, 0)))
+                y2 = y[:nb_pad]
+                if nb_pad < 8:  # epilogue windows always slice 8 table rows
+                    y2 = jnp.pad(y2, ((0, 8 - nb_pad), (0, 0)))
                 y = inverse_permute_blocks(a["perm_whi"], a["perm_idx"],
                                            y2)[:, : nb * LANES]
+            else:
+                y = y[:nb]
             return y
 
         xspec = P(axis, None) if gather_x else P()
@@ -511,6 +538,10 @@ class ColShardedSpmv:
             raise NotImplementedError(
                 "f32x2 covers the five reference formats "
                 "(csr/coo/cmrs/ell/sell); HYB stays fp32")
+        if self.x2 and not set(fmt_kwargs) <= _X2_SHARD_KWARGS:
+            raise ValueError(
+                f"f32x2 sharding honors {sorted(_X2_SHARD_KWARGS)}; got "
+                f"{sorted(set(fmt_kwargs) - _X2_SHARD_KWARGS)}")
         self.is_sell = format in ("sell", "sell_c_sigma")
         self.is_hyb = format == "hyb"
         cls = FORMATS[format]
@@ -562,7 +593,8 @@ class ColShardedSpmv:
                 sel = (cols >= lo) & (cols < hi)
                 p, p_lo, _whi, _idx, _yr = _x2_shard_plans(
                     fmt, y_rows, cps, rows[sel], cols[sel] - lo, vals[sel],
-                    pack=fmt_kwargs.get("pack"))
+                    pack=fmt_kwargs.get("pack"),
+                    chunk=fmt_kwargs.get("chunk"))
                 pairs.append((p, p_lo))
             (arrays, chunk, ns, self.is_seg, pack, w_rows,
              out_rows) = _unify_plans([p for p, _ in pairs],

@@ -38,6 +38,7 @@ _SEG = ("csr", "coo", "cmrs")
 
 @dataclass
 class X2Matrix:
+    x2 = True  # marker for dtype-aware call sites (api.spmm)
     format: str
     nrows: int
     ncols: int

@@ -191,3 +191,27 @@ def test_sharded_x2_rejects_bad_dtype(mesh):
     with pytest.raises(NotImplementedError):
         RowShardedSpmv("hyb", info.nrows, info.ncols, r, c, v, mesh,
                        dtype="f32x2")
+
+
+def test_row_sharded_sell_sigma_padded_shards(mesh):
+    """Regression: rps=1536 rows/shard with σ=1024 pads each shard's plan
+    to 2048 rows; the sorted y must keep ALL padded blocks through the
+    unpermute epilogue (truncating to rps/128 blocks first corrupted
+    every row ≥ 1024 within each shard — 4085 bad rows on this case)."""
+    info, r, c, v = synth.synthetic_cant(n=12288, avg_nnz_per_row=8,
+                                         bandwidth=60, seed=3)
+    x = np.random.default_rng(1).standard_normal(info.ncols).astype(np.float32)
+    yref = golden_spmv(info.nrows, r, c, v, x)
+    a = RowShardedSpmv("sell", info.nrows, info.ncols, r, c, v, mesh)
+    rep = check_result(yref, np.asarray(a.matvec(x)), tol_abs=1e-4,
+                       tol_rel=1e-4,
+                       scale=golden_spmv(info.nrows, r, c, np.abs(v),
+                                         np.abs(x)))
+    assert rep.ok, str(rep)
+    # and the double-single path at the same shape
+    v64 = np.asarray(v, np.float64) * (1 + 1e-9 * np.arange(v.size))
+    yref64 = golden_spmv(info.nrows, r, c, v64, x.astype(np.float64))
+    a2 = RowShardedSpmv("sell", info.nrows, info.ncols, r, c, v64, mesh,
+                        dtype="f32x2")
+    err = np.abs(np.asarray(a2.matvec(x.astype(np.float64))) - yref64).max()
+    assert err < 1e-6, f"x2 abs err {err:.3e}"
