@@ -124,6 +124,36 @@ def main():
         print(f"power-law suite: FAILED {type(e).__name__}: {e}",
               file=sys.stderr)
 
+    # Beyond-VMEM single-chip: a 4.2M x 4.2M band matrix (x table alone
+    # ~16 MB > the 12 MB resident-vector budget) through the slab x panel
+    # tiled container — the capability the reference got from plain
+    # device-RAM malloc (coo.c:116-120).  Recorded, not gated (the
+    # per-format 80% target is the cant matrix); skippable for quick
+    # local runs with SPMV_SKIP_BIG=1.
+    big_row = None
+    if not os.environ.get("SPMV_SKIP_BIG"):
+        try:
+            from spmv_tpu import synth as _synth
+            from spmv_tpu.big import TiledSpmv, fits_single_kernel
+
+            binfo, br, bc, bv = _synth.synthetic_cant(
+                n=4_200_000, avg_nnz_per_row=8, bandwidth=300, seed=0)
+            assert not fits_single_kernel(binfo.nrows, binfo.ncols)
+            big = TiledSpmv("csr", binfo.nrows, binfo.ncols, br, bc, bv)
+            bres, _bw = bench_formats_interleaved(
+                {"csr_tiled_4.2M": big}, probe=True,
+                iters_a=40, iters_b=200, repeats=8)
+            r = bres["csr_tiled_4.2M"]
+            results["__big__"] = r.to_dict()
+            big_row = round(r.gnnz_per_s, 3)
+            print(f"big 4.2M x 4.2M tiled csr: {r.ms_per_spmv:7.3f} ms  "
+                  f"{r.gnnz_per_s:6.2f} Gnnz/s  ({r.roofline_pct:4.1f}% "
+                  f"roofline, {big.n_tiles} tiles, pad "
+                  f"{r.padded_slots/max(r.nnz,1):.2f}x)", file=sys.stderr)
+        except Exception as e:  # pragma: no cover
+            print(f"big-matrix suite: FAILED {type(e).__name__}: {e}",
+                  file=sys.stderr)
+
     with open("bench_results.json", "w") as f:
         json.dump(results, f, indent=2)
 
@@ -148,6 +178,7 @@ def main():
         "hyb_ge_csr_on_power_law": hyb_ge_csr,
         "power_law_best_gnnz_per_s": (round(pl_best, 3)
                                       if pl_best is not None else None),
+        "big_tiled_gnnz_per_s": big_row,
         "roofline_pct_per_format": {
             f: round(r["roofline_pct"], 1) for f, r in results.items()
             if "roofline_pct" in r},

@@ -47,8 +47,8 @@ def load(path: str, format: str = "csr", *, synth: dict | None = None, **kwargs)
     ``synth`` kwargs go to :func:`spmv_tpu.synth.synthetic_cant`; the rest
     to the format's ``from_coo``.
 
-    Matrices beyond the whole-x/whole-y VMEM budget (~1.5M rows+cols)
-    automatically route to the slab×panel-tiled single-chip container
+    Matrices beyond the resident-vector VMEM budget (~3M rows or ~3M
+    cols) automatically route to the slab×panel-tiled single-chip container
     (:class:`spmv_tpu.big.TiledSpmv`) — the reference's only size limit
     was device RAM (``coo.c:116-120``), so is ours."""
     from spmv_tpu.big import TiledSpmv, fits_single_kernel

@@ -87,6 +87,9 @@ def _chained_loop(a, iters: int):
     """
     import copy
 
+    if hasattr(a, "chained_loop"):  # TiledSpmv brings its own loop
+        return a.chained_loop(iters)
+
     # The device arrays must ride as jit ARGUMENTS: a closure would embed
     # them as compile-payload constants, and the tunnel rejects payloads
     # over ~100 MB (HTTP 413 — hit at 437 MB device arrays on a 50M-nnz
@@ -291,6 +294,9 @@ def traffic_model(a) -> tuple[int, float]:
     """(padded element slots, HBM bytes) streamed per SpMV, including a
     HYB container's segmented spill stream.  Bytes are the exact device
     array sizes — no modeling."""
+    if not hasattr(a, "dev"):  # TiledSpmv carries its own exact accounting
+        return a.element_slots, (float(a.stream_bytes)
+                                 + float(a.aux_traffic_bytes))
     slots = a.dev.element_slots
     total = float(a.dev.stream_bytes)
     total += float(getattr(a.dev, "aux_traffic_bytes", 0))  # partials pass

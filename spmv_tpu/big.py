@@ -4,18 +4,25 @@ The resident-vector design (whole x table + whole y in VMEM,
 ``device._check_fits``) caps one kernel at ~1.5M rows+cols.  The
 reference's only limit was device RAM (``coo.c:116-120`` just mallocs);
 this module restores that capability on one chip: the matrix is tiled
-into (row slab × column panel) sub-plans — the same decomposition the
-ring-sharded layer distributes over a mesh (``dist/ring.py``), executed
-here as a sequential jitted loop on one device.  Per slab, a
-``lax.fori_loop`` walks the panels, dynamic-indexes the stacked plan
-arrays and the HBM-resident x panels, and accumulates the slab's y; only
-one panel's x table and one slab's y are VMEM-resident at a time.  Peak
-VMEM = streams + O(cps + rps) instead of O(ncols + nrows).
+into (row slab × column panel) sub-matrices, each held as a regular
+single-chip format container with its own tight plan and kernel
+geometry — a slab's nonempty tiles run as a statically-unrolled jitted
+sum per slab.  A banded matrix's off-band tiles never exist: no plan
+arrays, no dispatches, no DMA.  (An earlier stacked-uniform design
+padded every tile to the largest tile's plan — 5.7× slots on a 4M-row
+band matrix; per-tile containers keep each plan as tight as a
+standalone matrix.)  Only one panel's x table and one slab's y are
+VMEM-resident at a time: peak VMEM = streams + O(cps + rps) instead of
+O(ncols + nrows).
 
-Extra HBM traffic vs the resident design: the slab's x panels re-stream
-once per slab (D× for a dense band = the unavoidable cost of not
-fitting), plus one (rps,) y write per slab — both tiny next to the plan
-streams for the matrices this targets.
+Extra HBM traffic vs the resident design: the slab's nonempty x panels
+re-stream once per slab, plus the per-panel y accumulate and one y
+write per slab — all counted exactly in ``stream_bytes`` /
+``aux_traffic_bytes`` so the bench's roofline is honest.
+
+SELL works tile-locally: each tile σ-sorts its own rows and its
+unpermute epilogue restores natural order inside ``padded_matvec``, so
+summing tiles across a slab's panels stays correct.
 """
 
 from __future__ import annotations
@@ -30,6 +37,11 @@ __all__ = ["TiledSpmv", "fits_single_kernel"]
 # keep each sub-kernel's resident vectors comfortably inside the budget
 _TILE_VEC_BYTES = 4 * 1024 * 1024
 
+# container device-array attributes that must ride as jit ARGUMENTS
+# (same set as bench.runner._chained_loop; a closure would embed them as
+# compile-payload constants — the tunnel rejects >~100 MB payloads)
+_LEAF_ATTRS = ("dev", "dev_spill", "_perm_whi", "_perm_idx")
+
 
 def fits_single_kernel(nrows: int, ncols: int) -> bool:
     from spmv_tpu.device import _VMEM_VECTOR_BUDGET, _vector_bytes
@@ -37,25 +49,36 @@ def fits_single_kernel(nrows: int, ncols: int) -> bool:
     return _vector_bytes(nrows, ncols) <= _VMEM_VECTOR_BUDGET
 
 
+def _leaves(cont):
+    attrs = [n for n in _LEAF_ATTRS if getattr(cont, n, None) is not None]
+    return attrs, [getattr(cont, n) for n in attrs]
+
+
+def _rebound(cont, attrs, vals):
+    import copy
+
+    b = copy.copy(cont)
+    for n, v in zip(attrs, vals):
+        object.__setattr__(b, n, v)
+    return b
+
+
 class TiledSpmv:
     """y = A·x for matrices beyond the whole-x/whole-y VMEM budget.
 
-    Supports the plan-based formats (csr/coo/cmrs/ell/hyb; sell's σ-sort
-    would need a per-slab epilogue — use csr/hyb at this scale)."""
+    Supports the plan-based formats (csr/coo/cmrs/ell/sell/hyb; BSR's
+    block-dense fill pricing doesn't tile usefully — use csr/hyb)."""
 
     def __init__(self, format: str, nrows: int, ncols: int, rows, cols,
                  vals, *, slab_rows: int | None = None,
                  panel_cols: int | None = None, **fmt_kwargs):
-        import jax.numpy as jnp
-
         from spmv_tpu.api import FORMATS
-        from spmv_tpu.dist.sharded import _ShardStatics, _unify_plans
         from spmv_tpu.formats.base import panel_pack_for, seg_pack_for
 
         format = format.lower()
-        if format in ("bsr", "sell", "sell_c_sigma"):
+        if format == "bsr":
             raise NotImplementedError(
-                "tiled BSR/SELL not supported; use csr/coo/cmrs/ell/hyb")
+                "tiled BSR not supported; use csr/coo/cmrs/ell/sell/hyb")
         self.format = format
         self.is_hyb = format == "hyb"
         cls = FORMATS[format]
@@ -77,7 +100,7 @@ class TiledSpmv:
         if format in ("csr", "coo", "cmrs") and "pack" not in fmt_kwargs:
             fmt_kwargs = dict(fmt_kwargs,
                               pack=seg_pack_for(rows, cols, nrows, ncols))
-        elif format == "ell" and "pack" not in fmt_kwargs:
+        elif format in ("ell", "sell") and "pack" not in fmt_kwargs:
             fmt_kwargs = dict(fmt_kwargs,
                               pack=panel_pack_for(rows, cols, nrows, ncols))
         elif self.is_hyb:
@@ -87,105 +110,159 @@ class TiledSpmv:
             fmt_kwargs.setdefault("panel_pack",
                                   panel_pack_for(rows, cols, nrows, ncols))
 
-        shards = []
-        for d in range(DR):
-            for j in range(DC):
-                sel = ((rows >= d * rps) & (rows < (d + 1) * rps)
-                       & (cols >= j * cps) & (cols < (j + 1) * cps))
-                shards.append(cls.from_coo(
-                    rps, cps, rows[sel] - d * rps, cols[sel] - j * cps,
-                    vals[sel], **fmt_kwargs))
-        arrays, chunk, ns, self.is_seg, pack, w_rows, out_rows = \
-            _unify_plans([s.plan for s in shards])
-        self.st_spill = None
-        if self.is_hyb:
-            from spmv_tpu.formats.base import _empty_seg
+        # ---- nonempty-tile bucketing --------------------------------
+        tile_of = (rows // rps) * DC + (cols // cps)
+        per_tile = np.bincount(tile_of, minlength=DR * DC).reshape(DR, DC)
+        order = np.argsort(tile_of, kind="stable")
+        rows, cols, vals = rows[order], cols[order], vals[order]
+        bounds = np.concatenate([[0], np.cumsum(per_tile.reshape(-1))])
 
-            spill = [s.spill_plan if s.spill_plan is not None
-                     else _empty_seg(rps, cps, chunk, fmt_kwargs["pack"])
-                     for s in shards]
-            (sp_arrays, sp_chunk, sp_ns, _, sp_pack, sp_w,
-             sp_out) = _unify_plans(spill)
-            arrays.update({f"sp_{k}": v for k, v in sp_arrays.items()})
-            self.st_spill = _ShardStatics(
-                chunk=sp_chunk, ns=sp_ns, is_seg=True, is_row=True,
-                nrows=nrows, ncols=ncols, rows_per_shard=rps, n_shards=DC,
-                pack=sp_pack, w_rows=sp_w, out_rows=sp_out)
-        # (DR·DC, ...) → (DR, DC, ...): slab-major stacking
-        self.arrays = {k: jnp.asarray(v.reshape(DR, DC, *v.shape[1:]))
-                       for k, v in arrays.items()}
-        self.st = _ShardStatics(
-            chunk=chunk, ns=ns, is_seg=self.is_seg, is_row=True,
-            nrows=nrows, ncols=ncols, rows_per_shard=rps, n_shards=DC,
-            pack=pack, w_rows=w_rows, out_rows=out_rows)
+        # per slab: [(panel j, container)] for nonempty tiles only; an
+        # all-empty matrix keeps one empty tile so shapes stay real
+        self.tiles: list[list] = []
+        nvalid = np.zeros(DR, np.int32)
+        for d in range(DR):
+            slab = []
+            for j in range(DC):
+                t = d * DC + j
+                if per_tile[d, j] == 0 and not (
+                        d == 0 and j == 0 and per_tile.sum() == 0):
+                    continue
+                lo, hi = bounds[t], bounds[t + 1]
+                slab.append((j, cls.from_coo(
+                    rps, cps, rows[lo:hi] - d * rps, cols[lo:hi] - j * cps,
+                    vals[lo:hi], **fmt_kwargs)))
+            nvalid[d] = len(slab)
+            self.tiles.append(slab)
+        self.nvalid = nvalid
+        self.n_tiles = int(nvalid.sum())
+        self._nrows, self._ncols = nrows, ncols
         self.nnz = rows.size
         self.S_local = x_table_rows(cps)
-        self._slab_fn = self._build()
+        self._slab_fns = [self._build_slab(d) for d in range(DR)]
 
-    def _build(self):
+    def _slab_parts(self, d, conts, x_panels):
+        """This slab's y2d: Σ over its tiles (statically unrolled)."""
         import jax
         import jax.numpy as jnp
 
-        from spmv_tpu.dist.sharded import _make_dev
-        from spmv_tpu.kernels.engines import panel_spmv, segmented_spmv
+        nb = self.rps // LANES
+        y = jnp.zeros((nb, LANES), jnp.float32)
+        for (j, _), b in zip(self.tiles[d], conts):
+            x2d = jax.lax.dynamic_index_in_dim(x_panels, j, axis=0,
+                                               keepdims=False)
+            y = y + b.padded_matvec(x2d)[:nb]
+        return y
 
-        st, st_spill = self.st, self.st_spill
-        DC, nb = self.DC, self.rps // LANES
-        names = list(self.arrays)
+    def _build_slab(self, d):
+        import jax
+
+        slab = self.tiles[d]
+        attrs = [_leaves(c)[0] for _, c in slab]
 
         @jax.jit
-        def slab_fn(x_panels, *slab_arrays):
-            # x_panels (DC, S_local, 128) HBM-resident; slab arrays are
-            # this slab's (DC, ...) plan stacks
-            local = dict(zip(names, slab_arrays))
+        def slab_fn(x_panels, *flat):
+            conts, k = [], 0
+            for (_, c), a in zip(slab, attrs):
+                conts.append(_rebound(c, a, flat[k:k + len(a)]))
+                k += len(a)
+            return self._slab_parts(d, conts, x_panels)
 
-            def step(j, y):
-                sub = {n: jax.lax.dynamic_index_in_dim(local[n], j, axis=0,
-                                                       keepdims=False)
-                       for n in names}
-                x2d = jax.lax.dynamic_index_in_dim(x_panels, j, axis=0,
-                                                   keepdims=False)
-                dev = _make_dev(sub, st)
-                part = (segmented_spmv(dev, x2d) if st.is_seg
-                        else panel_spmv(dev, x2d))[:nb]
-                if st_spill is not None:
-                    sp = {n[3:]: v for n, v in sub.items()
-                          if n.startswith("sp_")}
-                    part = part + segmented_spmv(
-                        _make_dev(sp, st_spill), x2d)[:nb]
-                return y + part
+        flat = [v for _, c in slab for v in _leaves(c)[1]]
+        return lambda x_panels: slab_fn(x_panels, *flat)
 
-            y0 = jnp.zeros((nb, LANES), jnp.float32)
-            return jax.lax.fori_loop(0, DC, step, y0)
-
-        return slab_fn
-
-    def matvec(self, x) -> np.ndarray:
+    def x_table(self, x) -> "jnp.ndarray":
+        """(DC, S_local, 128) HBM-resident panel table of x."""
         import jax.numpy as jnp
 
         xf = np.asarray(x, dtype=np.float32).reshape(-1)
-        if xf.shape[0] != self.st.ncols:
+        if xf.shape[0] != self._ncols:
             raise ValueError(f"x has {xf.shape[0]} entries, matrix has "
-                             f"{self.st.ncols} columns")
+                             f"{self._ncols} columns")
         DC, cps, S_local = self.DC, self.cps, self.S_local
         xp = np.zeros((DC, S_local * LANES), dtype=np.float32)
         pad = np.zeros(DC * cps, dtype=np.float32)
         pad[: xf.size] = xf
         xp[:, :cps] = pad.reshape(DC, cps)
-        x_panels = jnp.asarray(xp.reshape(DC, S_local, LANES))
-        outs = []
-        for d in range(self.DR):  # one kernel loop per row slab
-            slab = [self.arrays[n][d] for n in self.arrays]
-            outs.append(np.asarray(self._slab_fn(x_panels, *slab)))
+        return jnp.asarray(xp.reshape(DC, S_local, LANES))
+
+    def matvec(self, x) -> np.ndarray:
+        x_panels = self.x_table(x)
+        outs = [np.asarray(fn(x_panels)) for fn in self._slab_fns]
         y = np.concatenate(outs, axis=0).reshape(-1)
-        return y[: self.st.nrows]
+        return y[: self._nrows]
 
     __matmul__ = matvec
 
+    def chained_loop(self, iters: int):
+        """`iters` chained full matvecs inside ONE jit — the slope-timing
+        hook ``bench.runner._chained_loop`` delegates to (same protocol:
+        device arrays as jit ARGUMENTS, ~1 KB probe-row dependency)."""
+        import jax
+        import jax.numpy as jnp
+
+        DR = self.DR
+        attrs = [[_leaves(c)[0] for _, c in self.tiles[d]]
+                 for d in range(DR)]
+
+        @jax.jit
+        def loop(x_panels, *flat):
+            rebound, k = [], 0
+            for d in range(DR):
+                conts = []
+                for (_, c), a in zip(self.tiles[d], attrs[d]):
+                    conts.append(_rebound(c, a, flat[k:k + len(a)]))
+                    k += len(a)
+                rebound.append(conts)
+
+            def body(i, xp):
+                probe = jnp.zeros((1, LANES), jnp.float32)
+                for d in range(DR):
+                    y = self._slab_parts(d, rebound[d], xp)
+                    probe = probe + y[0:1, :LANES]
+                probe_row = xp[0, 0:1, :] + probe * 1e-38
+                return jax.lax.dynamic_update_slice(
+                    xp, probe_row[None], (0, 0, 0))
+
+            return jax.lax.fori_loop(0, iters, body, x_panels)
+
+        flat = [v for d in range(DR) for _, c in self.tiles[d]
+                for v in _leaves(c)[1]]
+        return lambda xp: loop(xp, *flat)
+
+    # ---- exact traffic accounting (bench.runner.traffic_model hooks) --
+
+    def _conts(self):
+        return [c for slab in self.tiles for _, c in slab]
+
+    @property
+    def element_slots(self) -> int:
+        from spmv_tpu.bench.runner import traffic_model
+
+        return sum(traffic_model(c)[0] for c in self._conts())
+
+    @property
+    def stream_bytes(self) -> int:
+        from spmv_tpu.bench.runner import traffic_model
+
+        return int(sum(traffic_model(c)[1] for c in self._conts()))
+
+    @property
+    def aux_traffic_bytes(self) -> int:
+        """The tiling's own extra vector traffic on top of each tile's
+        exact stream: one x-panel read per visited tile, the per-panel
+        y accumulate (read y, read part, write y), one y write per
+        slab.  (Each tile's kernel-internal aux traffic is already in
+        ``stream_bytes`` via its own traffic model.)"""
+        nb = self.rps // LANES
+        return (self.n_tiles * self.S_local * LANES * 4
+                + self.n_tiles * 3 * nb * LANES * 4
+                + self.DR * nb * LANES * 4)
+
     @property
     def nrows(self) -> int:
-        return self.st.nrows
+        return self._nrows
 
     @property
     def ncols(self) -> int:
-        return self.st.ncols
+        return self._ncols

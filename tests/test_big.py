@@ -18,7 +18,7 @@ def _data(n=3000, seed=2):
     return info, r, c, v, x
 
 
-@pytest.mark.parametrize("fmt", ["csr", "coo", "cmrs", "ell", "hyb"])
+@pytest.mark.parametrize("fmt", ["csr", "coo", "cmrs", "ell", "sell", "hyb"])
 def test_tiled_matches_oracle(fmt):
     info, r, c, v, x = _data()
     a = TiledSpmv(fmt, info.nrows, info.ncols, r, c, v,
@@ -58,3 +58,43 @@ def test_load_routes_over_budget(monkeypatch, tmp_path):
     x = np.random.default_rng(0).standard_normal(a.ncols).astype(np.float32)
     y = a.matvec(x)
     assert y.shape == (a.nrows,)
+
+
+def test_tiled_skips_empty_tiles():
+    """Block-diagonal matrix: off-diagonal tiles must not exist (no plan
+    arrays, no dispatches) — a 4Mx4M band matrix would otherwise spend
+    most of its time on empty off-band tiles."""
+    info, r, c, v, x = _data(n=3072, seed=5)
+    # band 50 around the diagonal: with 1024-square tiles, only the
+    # diagonal (and corner-adjacent) tiles are occupied
+    a = TiledSpmv("csr", info.nrows, info.ncols, r, c, v,
+                  slab_rows=1024, panel_cols=1024)
+    assert a.DR == 3 and a.DC == 3
+    # the band only touches tiles adjacent to the diagonal (7 of 9);
+    # the 2 far corners must not exist
+    assert a.n_tiles <= 7 < a.DR * a.DC
+    assert int(a.nvalid.sum()) == a.n_tiles
+    rep = check_result(golden_spmv(info.nrows, r, c, v, x),
+                       a.matvec(x), tol_abs=1e-4, tol_rel=1e-4,
+                       scale=golden_spmv(info.nrows, r, c, np.abs(v),
+                                         np.abs(x)))
+    assert rep.ok, str(rep)
+
+
+def test_tiled_chained_loop_and_traffic():
+    """The bench hook: chained_loop must preserve x outside the probe row
+    and the traffic model must count every nonempty tile exactly once."""
+    info, r, c, v, x = _data(n=2048, seed=8)
+    a = TiledSpmv("csr", info.nrows, info.ncols, r, c, v,
+                  slab_rows=1024, panel_cols=1024)
+    xp = a.x_table(x)
+    out = np.asarray(a.chained_loop(2)(xp))
+    assert out.shape == xp.shape
+    # rows 1.. of panel 0 and all other panels untouched by the probe
+    np.testing.assert_array_equal(out[0, 1:], np.asarray(xp)[0, 1:])
+    np.testing.assert_array_equal(out[1:], np.asarray(xp)[1:])
+    assert out[0, 0, :].shape == (128,)
+    from spmv_tpu.bench.runner import traffic_model
+    slots, total = traffic_model(a)
+    assert slots >= a.nnz
+    assert total > slots * 5  # >=5B/slot for the P-packed seg stream
