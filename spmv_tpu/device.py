@@ -56,6 +56,17 @@ _VMEM_LIMIT = 14 * 1024 * 1024
 # this the matrix must be sharded.
 _VMEM_VECTOR_BUDGET = 12 * 1024 * 1024
 
+# Below this many streamed plan bytes the single-dispatch fused-RMW
+# kernel variant beats the streamed-partials pair: the epilogue
+# dispatch's fixed ramp outweighs the RMW serialization on short
+# streams.  Calibrated on chip (scripts/probe_small.py, power-law csr):
+# 2.9 MB/1 grid step: fused 7.7 µs vs 10.7 — +39%; ≥4.7 MB/3+ steps:
+# statistical tie at every size up to 62 MB (the RMW serialization of
+# DESIGN.md fact 9 does not bind on scattered plans).  4 MB keeps the
+# clear-win region fused and leaves production plans on the measured
+# streamed-partials design.
+FUSED_STREAM_BYTES_MAX = 4 * 1024 * 1024
+
 
 def _vector_bytes(nrows: int, ncols: int, x2: bool = False) -> int:
     """VMEM-resident vector bytes.  f32: the x table lives in the MAIN
@@ -321,10 +332,32 @@ class DevPanel:
         return sum(int(np.prod(a.shape)) * a.dtype.itemsize for a in arrs)
 
     @property
+    def fused(self) -> bool:
+        """True = the engines take the single-dispatch fused-RMW variant
+        (short streams; static at trace time — derived from array
+        shapes, which are part of the jit cache key).  Unlike the
+        streamed-partials pair (x table resident in the main kernel, y
+        only in the epilogue), the fused kernel holds BOTH — so x+y must
+        fit the resident-vector budget together."""
+        if self.stream_bytes > FUSED_STREAM_BYTES_MAX:
+            return False
+        vec = _x_table_bytes(self.ncols) + 4 * self.out_rows * LANES
+        nsteps = max(self.vals[0].shape[0] * self.kva
+                     // (self.chunk * self.ns), 1)
+        blocks = 2 * self.stream_bytes // nsteps  # double-buffered step
+        return vec + blocks <= _VMEM_LIMIT
+
+    @property
     def aux_traffic_bytes(self) -> int:
         """Streamed-partials epilogue traffic: the (nsc·W,128) window
         partials write out of the main kernel and read back into the
-        scatter-add, plus the y write (DESIGN.md fact 9)."""
+        scatter-add, plus the y write (DESIGN.md fact 9).  The fused
+        small-stream path skips the partials round-trip; the x2 engines
+        always RMW in-kernel and write (yh, yl)."""
+        if self.vals_lo:
+            return 2 * self.out_rows * LANES * 4
+        if self.fused:
+            return self.out_rows * LANES * 4
         nsc = (self.vals[0].shape[0] * self.kva) // self.chunk
         return (2 * nsc * self.w_rows + self.out_rows) * LANES * 4
 
@@ -399,8 +432,25 @@ class DevSeg:
         return sum(int(np.prod(a.shape)) * a.dtype.itemsize for a in arrs)
 
     @property
+    def fused(self) -> bool:
+        """See DevPanel.fused."""
+        if self.stream_bytes > FUSED_STREAM_BYTES_MAX:
+            return False
+        vec = _x_table_bytes(self.ncols) + 4 * self.out_rows * LANES
+        nsteps = max(self.vals[0].shape[0] * self.kva
+                     // (self.chunk * self.ns), 1)
+        blocks = 2 * self.stream_bytes // nsteps  # double-buffered step
+        return vec + blocks <= _VMEM_LIMIT
+
+    @property
     def aux_traffic_bytes(self) -> int:
-        """Streamed-partials epilogue traffic (see DevPanel)."""
+        """Streamed-partials epilogue traffic (see DevPanel); the fused
+        small-stream path skips the partials round-trip; x2 engines RMW
+        in-kernel and write (yh, yl)."""
+        if self.vals_lo:
+            return 2 * self.out_rows * LANES * 4
+        if self.fused:
+            return self.out_rows * LANES * 4
         nsc = (self.vals[0].shape[0] * self.kva) // self.chunk
         return (2 * nsc * self.w_rows + self.out_rows) * LANES * 4
 

@@ -62,7 +62,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 from spmv_tpu.formats.base import LANES, SUBLANES, round_up
 
-__all__ = ["panel_spmv", "segmented_spmv", "inverse_permute_blocks"]
+__all__ = ["panel_spmv", "segmented_spmv", "inverse_permute_blocks",
+           "panel_spmv_fused", "panel_spmv_partials",
+           "segmented_spmv_fused", "segmented_spmv_partials"]
 
 def _interpret() -> bool:
     return jax.default_backend() != "tpu"
@@ -120,6 +122,24 @@ def _window_partial(op_ref, pieces, meta_ref, k: int, ns: int,
     tt = jax.lax.broadcasted_iota(jnp.int32, (W, chunk), 0)
     Rw = (jnp.broadcast_to(wv, (W, chunk)) == tt).astype(jnp.bfloat16)
     op_ref[k * W : (k + 1) * W, :] = _split_rowsum(Rw, pieces)
+
+
+def _window_accumulate(o_ref, pieces, meta_ref, base_ref, k: int, ns: int,
+                       chunk: int, W: int):
+    """Single-dispatch variant of the windowed y-reduction: same
+    compare-built ``Rw`` matmul as ``_window_partial``, but the (W,128)
+    window lands straight in the VMEM-resident y with one dynamic RMW.
+    At production scale the RMW serializes against the next sub-chunk's
+    overlapping window (~130 GB/s of the DMA ceiling, DESIGN.md fact 9) —
+    but on SMALL streams the second dispatch's fixed ramp costs more than
+    the serialization, so ``segmented_spmv``/``panel_spmv`` auto-pick this
+    path below ``FUSED_STREAM_BYTES_MAX`` (scripts/probe_small.py)."""
+    wv = meta_ref[k : k + 1, 0:chunk].astype(jnp.int32)  # (1,chunk)
+    tt = jax.lax.broadcasted_iota(jnp.int32, (W, chunk), 0)
+    Rw = (jnp.broadcast_to(wv, (W, chunk)) == tt).astype(jnp.bfloat16)
+    parts = _split_rowsum(Rw, pieces)  # (W, 128)
+    base = base_ref[pl.program_id(0) * ns + k]
+    o_ref[pl.ds(base, W), :] += parts
 
 
 def _scatter_kernel(ns: int, W: int, base_ref, p_ref, o_ref):
@@ -191,14 +211,19 @@ def _packed_products(k: int, ns: int, chunk: int, pack: int, kva: int,
 # ---------------------------------------------------------------- engine 1
 
 
+def _panel_refs(pack: int, kva: int, refs):
+    nv = pack * kva
+    return (refs[:nv],  # vals
+            refs[nv : nv + pack],  # lo
+            refs[nv + pack : nv + pack + 1],  # hi
+            refs[nv + pack + 1],  # meta
+            refs[-2], refs[-1])  # x table, output
+
+
 def _panel_kernel(chunk: int, ns: int, kva: int, pack: int, W: int,
                   sub_base_ref, *refs):
-    nv = pack * kva
-    vals_refs = refs[:nv]
-    lo_refs = refs[nv : nv + pack]
-    hi_refs = refs[nv + pack : nv + pack + 1]
-    meta_ref = refs[nv + pack + 1]
-    x_ref, op_ref = refs[-2], refs[-1]
+    (vals_refs, lo_refs, hi_refs, meta_ref,
+     x_ref, op_ref) = _panel_refs(pack, kva, refs)
     step = pl.program_id(0)
 
     nsub = chunk // SUBLANES
@@ -209,18 +234,26 @@ def _panel_kernel(chunk: int, ns: int, kva: int, pack: int, W: int,
         _window_partial(op_ref, p, meta_ref, k, ns, chunk, W)
 
 
-@jax.jit
-def panel_spmv(dev, x2d):
-    """Engine 1: y(out_rows, 128) = A·x over P-packed stripe-pure
-    mini-panels (vs ``Ell.cl``'s workgroup-per-row tree reduction and
-    ``Sigma_C.cl``'s slice kernel).  Window partials stream out of the
-    main kernel; ``_window_scatter`` folds them into y."""
-    chunk, ns, kva, pack = dev.chunk, dev.ns, dev.kva, dev.pack
-    W = dev.w_rows
-    TM = dev.vals[0].shape[0] * kva
-    nsteps = TM // (chunk * ns)
-    kernel = functools.partial(_panel_kernel, chunk, ns, kva, pack, W)
-    in_specs = (
+def _panel_kernel_fused(chunk: int, ns: int, kva: int, pack: int, W: int,
+                        base_ref, sub_base_ref, *refs):
+    (vals_refs, lo_refs, hi_refs, meta_ref,
+     x_ref, o_ref) = _panel_refs(pack, kva, refs)
+    step = pl.program_id(0)
+
+    @pl.when(step == 0)
+    def _():
+        o_ref[:] = jnp.zeros_like(o_ref)
+
+    nsub = chunk // SUBLANES
+    for k in range(ns):
+        g0 = step * (ns * nsub) + k * nsub
+        p = _packed_products(k, ns, chunk, pack, kva, vals_refs, lo_refs,
+                             hi_refs, x_ref, sub_base_ref, g0)
+        _window_accumulate(o_ref, p, meta_ref, base_ref, k, ns, chunk, W)
+
+
+def _panel_in_specs(chunk, ns, kva, pack):
+    return (
         [pl.BlockSpec((chunk * ns // kva, LANES), lambda i, *_: (i, 0),
                       memory_space=pltpu.VMEM)] * (pack * kva)
         + [pl.BlockSpec((chunk * ns, LANES), lambda i, *_: (i, 0),
@@ -229,12 +262,35 @@ def panel_spmv(dev, x2d):
                         lambda i, *_: (i, 0), memory_space=pltpu.VMEM)]
         + [pl.BlockSpec(memory_space=pltpu.VMEM)]  # x table, resident
     )
+
+
+@jax.jit
+def panel_spmv(dev, x2d):
+    """Engine 1: y(out_rows, 128) = A·x over P-packed stripe-pure
+    mini-panels (vs ``Ell.cl``'s workgroup-per-row tree reduction and
+    ``Sigma_C.cl``'s slice kernel).  Window partials stream out of the
+    main kernel; ``_window_scatter`` folds them into y.  Small streams
+    auto-take the single-dispatch fused-RMW variant (``dev.fused``)."""
+    if dev.fused:
+        return panel_spmv_fused(dev, x2d)
+    return panel_spmv_partials(dev, x2d)
+
+
+@jax.jit
+def panel_spmv_partials(dev, x2d):
+    """Engine 1, two-dispatch: window partials stream out of the main
+    kernel; ``_window_scatter`` folds them into y (DESIGN.md fact 9)."""
+    chunk, ns, kva, pack = dev.chunk, dev.ns, dev.kva, dev.pack
+    W = dev.w_rows
+    TM = dev.vals[0].shape[0] * kva
+    nsteps = TM // (chunk * ns)
+    kernel = functools.partial(_panel_kernel, chunk, ns, kva, pack, W)
     partials = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(nsteps,),
-            in_specs=in_specs,
+            in_specs=_panel_in_specs(chunk, ns, kva, pack),
             out_specs=pl.BlockSpec((ns * W, LANES), lambda i, *_: (i, 0),
                                    memory_space=pltpu.VMEM),
         ),
@@ -245,45 +301,115 @@ def panel_spmv(dev, x2d):
     return _window_scatter(partials, dev.base_w, ns, W, dev.out_rows)
 
 
+@jax.jit
+def panel_spmv_fused(dev, x2d):
+    """Engine 1, single-dispatch: the windowed reduce RMWs straight into
+    the VMEM-resident y (no partials round-trip, no epilogue kernel)."""
+    chunk, ns, kva, pack = dev.chunk, dev.ns, dev.kva, dev.pack
+    W = dev.w_rows
+    TM = dev.vals[0].shape[0] * kva
+    nsteps = TM // (chunk * ns)
+    kernel = functools.partial(_panel_kernel_fused, chunk, ns, kva, pack, W)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(nsteps,),
+            in_specs=_panel_in_specs(chunk, ns, kva, pack),
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        ),
+        out_shape=jax.ShapeDtypeStruct((dev.out_rows, LANES), jnp.float32),
+        interpret=_interpret(),
+    )(dev.base_w, dev.sub_base, *dev.vals, *dev.lo, dev.hi, dev.meta, x2d)
+
+
 # ---------------------------------------------------------------- engine 2
+
+
+def _seg_pieces(k: int, ns: int, chunk: int, pack: int, kva: int,
+                vals_refs, lo_refs, hi_refs, gidx_refs, x_ref,
+                sub_base_ref, g0, U):
+    """One sub-chunk's per-(row,lane) segment sums — the segmented
+    engine's compute path, shared by the streamed-partials and fused-RMW
+    variants."""
+    # P-packed pre-reduction (shared with engine 1): the VPU combine
+    # amortizes the MXU prefix and the index bytes over P elements.
+    p, c2 = _packed_products(k, ns, chunk, pack, kva, vals_refs,
+                             lo_refs, hi_refs, x_ref, sub_base_ref, g0,
+                             seg=True)
+    cs = _split_dot(p, U)  # inclusive lane prefix on the MXU
+    # d[q] = everything through the portion of quad q belonging to the
+    # segment ending in q (c2 subtracts the next segment's head) — the
+    # prefix difference stays exact with mid-quad segment boundaries.
+    d = cs - c2
+    gi = _chunk_slice(gidx_refs, k, ns, chunk).astype(jnp.int32)
+    # pieces = d[gi] − d[shift(gi)].  Gathering at the shifted index
+    # equals shifting the gathered values (same per-row table), so ONE
+    # lane gather + a lane shift replaces two gathers (the gathers
+    # cost ~85 GB/s of the DMA ceiling, DESIGN.md fact 9).  Absent
+    # lids vanish as t−t (gidx is a running max); lane 0's bound is
+    # d[:,0] == 0 (the guaranteed zero pad).
+    t = jnp.take_along_axis(d, gi, axis=1)
+    ts = jnp.concatenate(
+        [jnp.zeros((chunk, 1), jnp.float32), t[:, : LANES - 1]], axis=1)
+    return t - ts
+
+
+def _seg_refs(pack: int, kva: int, refs):
+    nv = pack * kva
+    return (refs[:nv],  # vals, plane-major: plane pp is [pp*kva,(pp+1)*kva)
+            refs[nv : nv + pack],  # lo
+            refs[nv + pack : nv + pack + 1],  # hi
+            refs[nv + pack + 1 : nv + pack + 2],  # gidx
+            refs[nv + pack + 2],  # meta
+            refs[-2], refs[-1])  # x table, output
 
 
 def _seg_kernel(chunk: int, ns: int, kva: int, pack: int, W: int,
                 sub_base_ref, *refs):
-    nv = pack * kva
-    vals_refs = refs[:nv]  # plane-major: plane pp is [pp*kva, (pp+1)*kva)
-    lo_refs = refs[nv : nv + pack]
-    hi_refs = refs[nv + pack : nv + pack + 1]
-    gidx_refs = refs[nv + pack + 1 : nv + pack + 2]
-    meta_ref = refs[nv + pack + 2]
-    x_ref, op_ref = refs[-2], refs[-1]
+    (vals_refs, lo_refs, hi_refs, gidx_refs, meta_ref,
+     x_ref, op_ref) = _seg_refs(pack, kva, refs)
     step = pl.program_id(0)
 
     U = _triu_ones().astype(jnp.bfloat16)
     nsub = chunk // SUBLANES
     for k in range(ns):
         g0 = step * (ns * nsub) + k * nsub
-        # P-packed pre-reduction (shared with engine 1): the VPU combine
-        # amortizes the MXU prefix and the index bytes over P elements.
-        p, c2 = _packed_products(k, ns, chunk, pack, kva, vals_refs,
-                                 lo_refs, hi_refs, x_ref, sub_base_ref, g0,
-                                 seg=True)
-        cs = _split_dot(p, U)  # inclusive lane prefix on the MXU
-        # d[q] = everything through the portion of quad q belonging to the
-        # segment ending in q (c2 subtracts the next segment's head) — the
-        # prefix difference stays exact with mid-quad segment boundaries.
-        d = cs - c2
-        gi = _chunk_slice(gidx_refs, k, ns, chunk).astype(jnp.int32)
-        # pieces = d[gi] − d[shift(gi)].  Gathering at the shifted index
-        # equals shifting the gathered values (same per-row table), so ONE
-        # lane gather + a lane shift replaces two gathers (the gathers
-        # cost ~85 GB/s of the DMA ceiling, DESIGN.md fact 9).  Absent
-        # lids vanish as t−t (gidx is a running max); lane 0's bound is
-        # d[:,0] == 0 (the guaranteed zero pad).
-        t = jnp.take_along_axis(d, gi, axis=1)
-        ts = jnp.concatenate(
-            [jnp.zeros((chunk, 1), jnp.float32), t[:, : LANES - 1]], axis=1)
-        _window_partial(op_ref, t - ts, meta_ref, k, ns, chunk, W)
+        pieces = _seg_pieces(k, ns, chunk, pack, kva, vals_refs, lo_refs,
+                             hi_refs, gidx_refs, x_ref, sub_base_ref, g0, U)
+        _window_partial(op_ref, pieces, meta_ref, k, ns, chunk, W)
+
+
+def _seg_kernel_fused(chunk: int, ns: int, kva: int, pack: int, W: int,
+                      base_ref, sub_base_ref, *refs):
+    (vals_refs, lo_refs, hi_refs, gidx_refs, meta_ref,
+     x_ref, o_ref) = _seg_refs(pack, kva, refs)
+    step = pl.program_id(0)
+
+    @pl.when(step == 0)
+    def _():
+        o_ref[:] = jnp.zeros_like(o_ref)
+
+    U = _triu_ones().astype(jnp.bfloat16)
+    nsub = chunk // SUBLANES
+    for k in range(ns):
+        g0 = step * (ns * nsub) + k * nsub
+        pieces = _seg_pieces(k, ns, chunk, pack, kva, vals_refs, lo_refs,
+                             hi_refs, gidx_refs, x_ref, sub_base_ref, g0, U)
+        _window_accumulate(o_ref, pieces, meta_ref, base_ref, k, ns, chunk,
+                           W)
+
+
+def _seg_in_specs(chunk, ns, kva, pack):
+    return (
+        [pl.BlockSpec((chunk * ns // kva, LANES), lambda i, *_: (i, 0),
+                      memory_space=pltpu.VMEM)] * (pack * kva)
+        + [pl.BlockSpec((chunk * ns, LANES), lambda i, *_: (i, 0),
+                        memory_space=pltpu.VMEM)] * (pack + 2)
+        + [pl.BlockSpec((round_up(ns, SUBLANES), LANES),
+                        lambda i, *_: (i, 0), memory_space=pltpu.VMEM)]
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)]  # x table, resident
+    )
 
 
 @jax.jit
@@ -294,27 +420,30 @@ def segmented_spmv(dev, x2d):
     row loop (``Csr.cl:5-16``) and strip reduction (``Cmrs.cl:5-44``) with
     one deterministic engine; the P-packing (measured 42 → 113 Gelem/s at
     P=4, scripts/probe_pack.py) amortizes the triangular-prefix matmul
-    over P elements per lane slot."""
+    over P elements per lane slot.  Small streams auto-take the
+    single-dispatch fused-RMW variant (``dev.fused`` — the second
+    dispatch's fixed ramp outweighs the RMW serialization below
+    ~``FUSED_STREAM_BYTES_MAX``, scripts/probe_small.py)."""
+    if dev.fused:
+        return segmented_spmv_fused(dev, x2d)
+    return segmented_spmv_partials(dev, x2d)
+
+
+@jax.jit
+def segmented_spmv_partials(dev, x2d):
+    """Engine 2, two-dispatch: window partials stream out of the main
+    kernel; ``_window_scatter`` folds them into y (DESIGN.md fact 9)."""
     chunk, ns, kva, pack = dev.chunk, dev.ns, dev.kva, dev.pack
     W = dev.w_rows
     TM = dev.vals[0].shape[0] * kva
     nsteps = TM // (chunk * ns)
     kernel = functools.partial(_seg_kernel, chunk, ns, kva, pack, W)
-    in_specs = (
-        [pl.BlockSpec((chunk * ns // kva, LANES), lambda i, *_: (i, 0),
-                      memory_space=pltpu.VMEM)] * (pack * kva)
-        + [pl.BlockSpec((chunk * ns, LANES), lambda i, *_: (i, 0),
-                        memory_space=pltpu.VMEM)] * (pack + 2)
-        + [pl.BlockSpec((round_up(ns, SUBLANES), LANES),
-                        lambda i, *_: (i, 0), memory_space=pltpu.VMEM)]
-        + [pl.BlockSpec(memory_space=pltpu.VMEM)]  # x table, resident
-    )
     partials = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(nsteps,),
-            in_specs=in_specs,
+            in_specs=_seg_in_specs(chunk, ns, kva, pack),
             out_specs=pl.BlockSpec((ns * W, LANES), lambda i, *_: (i, 0),
                                    memory_space=pltpu.VMEM),
         ),
@@ -323,6 +452,29 @@ def segmented_spmv(dev, x2d):
         interpret=_interpret(),
     )(dev.sub_base, *dev.vals, *dev.lo, dev.hi, dev.gidx, dev.meta, x2d)
     return _window_scatter(partials, dev.base_w, ns, W, dev.out_rows)
+
+
+@jax.jit
+def segmented_spmv_fused(dev, x2d):
+    """Engine 2, single-dispatch: the windowed reduce RMWs straight into
+    the VMEM-resident y (no partials round-trip, no epilogue kernel)."""
+    chunk, ns, kva, pack = dev.chunk, dev.ns, dev.kva, dev.pack
+    W = dev.w_rows
+    TM = dev.vals[0].shape[0] * kva
+    nsteps = TM // (chunk * ns)
+    kernel = functools.partial(_seg_kernel_fused, chunk, ns, kva, pack, W)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(nsteps,),
+            in_specs=_seg_in_specs(chunk, ns, kva, pack),
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        ),
+        out_shape=jax.ShapeDtypeStruct((dev.out_rows, LANES), jnp.float32),
+        interpret=_interpret(),
+    )(dev.base_w, dev.sub_base, *dev.vals, *dev.lo, dev.hi, dev.gidx,
+      dev.meta, x2d)
 
 
 # ------------------------------------------------------- permute epilogue

@@ -303,3 +303,48 @@ def test_hyb_shape_choice_depends_on_matrix_class():
                        tol_rel=engine_rel_tol(128),
                        scale=golden_spmv(n, rows, cols, vals, np.abs(x)))
     assert rep.ok, str(rep)
+
+
+@pytest.mark.parametrize("fmt", ["csr", "ell"])
+def test_fused_and_partials_paths_agree(fmt):
+    """Both engine dispatch variants — the single-dispatch fused-RMW
+    kernel (small streams, ``dev.fused``) and the two-dispatch
+    streamed-partials pair (production scale, DESIGN.md fact 9) — must
+    produce identical results on the same device plan."""
+    from spmv_tpu.device import y_from_padded
+    from spmv_tpu.kernels.engines import (panel_spmv_fused,
+                                          panel_spmv_partials,
+                                          segmented_spmv_fused,
+                                          segmented_spmv_partials)
+
+    info, r, c, v = synth.random_coo(700, 500, 6000, seed=21)
+    a = spmv_tpu.from_coo(fmt, info.nrows, info.ncols, r, c, v)
+    assert a.dev.fused  # test matrices are far below the threshold
+    x = np.random.default_rng(7).standard_normal(info.ncols).astype(np.float32)
+    from spmv_tpu.device import x_to_table
+
+    x2d = x_to_table(x, info.ncols)
+    fns = ((segmented_spmv_fused, segmented_spmv_partials)
+           if fmt == "csr" else (panel_spmv_fused, panel_spmv_partials))
+    yf = np.asarray(y_from_padded(fns[0](a.dev, x2d), info.nrows))
+    yp = np.asarray(y_from_padded(fns[1](a.dev, x2d), info.nrows))
+    np.testing.assert_allclose(yf, yp, rtol=1e-6, atol=1e-6)
+    expected = golden_spmv(info.nrows, r, c, v, x)
+    scale = golden_spmv(info.nrows, r, c, np.abs(v), np.abs(x))
+    rep = check_result(expected, yf, tol_abs=1e-4,
+                       tol_rel=engine_rel_tol(64), scale=scale)
+    assert rep.ok, str(rep)
+
+
+def test_fused_declined_when_vectors_fill_vmem():
+    """A huge-but-hypersparse matrix has a tiny stream (fused-eligible by
+    bytes) but x+y cannot be co-resident — the fused predicate must
+    decline so the two-dispatch path (x in the main kernel, y in the
+    epilogue) keeps it compilable."""
+    n = 3_000_000
+    a = spmv_tpu.from_coo("csr", n, n, np.array([0, n - 1]),
+                          np.array([0, n - 1]), np.array([1.0, 2.0]))
+    assert not a.dev.fused
+    small = spmv_tpu.from_coo("csr", 1000, 1000, np.array([0, 999]),
+                              np.array([0, 999]), np.array([1.0, 2.0]))
+    assert small.dev.fused
