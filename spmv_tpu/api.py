@@ -66,15 +66,84 @@ def spmv(a, x):
     return a.matvec(x)
 
 
+def _multi_rhs_fits(dev, R: int) -> bool:
+    """VMEM feasibility of the fused multi-RHS kernels for this plan:
+    R stacked x tables resident in the main kernel, R·out_rows y rows
+    resident in the scatter epilogue, double-buffered (ns·R·W, 128)
+    partials blocks in the grid pipeline."""
+    from spmv_tpu.device import x_table_rows
+    from spmv_tpu.formats.base import LANES
+
+    xtab = R * x_table_rows(dev.ncols) * LANES * 4
+    ybytes = R * dev.out_rows * LANES * 4
+    pblock = 2 * dev.ns * R * dev.w_rows * LANES * 4
+    return xtab <= 10 * 2**20 and ybytes <= 10 * 2**20 and pblock <= 4 * 2**20
+
+
+def _spmm_fused(a, X, R: int):
+    """Y = A @ X through the fused multi-RHS engines (one plan-stream
+    pass computes all R columns), or None when the container/shape is
+    out of the fused envelope.  Measured 1.19×/1.32× per vector at
+    R = 2/4 vs R separate passes (scripts/probe_spmm.py — the plan DMA
+    amortizes over R; past ``MULTI_RHS_MAX`` the per-vector time
+    saturates at the compute share and BSR is the right tool)."""
+    import jax.numpy as jnp
+
+    from spmv_tpu.device import x_to_table
+    from spmv_tpu.kernels.engines import (MULTI_RHS_MAX, panel_spmv_multi,
+                                          segmented_spmv_multi)
+
+    if R < 2 or R > MULTI_RHS_MAX:
+        return None
+    dev = getattr(a, "dev", None)
+    spill = getattr(a, "dev_spill", None)
+    if dev is None or not hasattr(dev, "fused"):  # engine containers only
+        return None
+    parts = []
+    if getattr(a, "panel_nnz", 1) > 0 or spill is None:
+        parts.append(dev)
+    if spill is not None and getattr(a, "spill_nnz", 0) > 0:
+        parts.append(spill)
+    if not all(_multi_rhs_fits(d, R) for d in parts):
+        return None
+
+    x2d = jnp.concatenate([x_to_table(X[:, j], a.ncols) for j in range(R)],
+                          axis=0)
+
+    def run(d):
+        fn = segmented_spmv_multi if hasattr(d, "gidx") else panel_spmv_multi
+        y = fn(d, x2d, R)  # (R·out_rows, 128)
+        return y.reshape(R, d.out_rows, -1)
+
+    ys = [run(d) for d in parts]
+    n = max(y.shape[1] for y in ys)
+    ys = [jnp.pad(y, ((0, 0), (0, n - y.shape[1]), (0, 0)))
+          if y.shape[1] < n else y for y in ys]
+    Y3 = sum(ys[1:], ys[0])  # (R, n, 128)
+    if getattr(a, "sorted_rows", False):
+        from spmv_tpu.kernels.engines import inverse_permute_blocks
+
+        cols = []
+        for r in range(R):
+            y2 = Y3[r]
+            if y2.shape[0] < 8:  # epilogue windows slice 8 table rows
+                y2 = jnp.pad(y2, ((0, 8 - y2.shape[0]), (0, 0)))
+            cols.append(inverse_permute_blocks(
+                a._perm_whi, a._perm_idx, y2).reshape(-1)[: a.nrows])
+        return jnp.stack(cols, axis=1)
+    return Y3.reshape(R, -1)[:, : a.nrows].T
+
+
 def spmm(a, X):
     """Y = A @ X for X of shape (ncols, R).
 
     BSR computes this as one batched MXU matmul (the right tool for
-    R ≳ 32); every other format runs one SpMV per column.  A fused
-    multi-RHS variant of the Pallas engines was measured SLOWER per
-    vector than this loop on the bench TPU (compute scales with R while
-    the single-vector kernels already sit at the compute/DMA balance
-    point), so the loop is the honest implementation.
+    R ≳ 32).  For 2 ≤ R ≤ ``engines.MULTI_RHS_MAX`` the Pallas engines
+    run a fused multi-RHS kernel — one plan-stream pass for all R
+    columns, measured 1.19×/1.32× per vector at R = 2/4
+    (scripts/probe_spmm.py; an earlier unrecorded "fused is slower"
+    claim was refuted by that probe).  Larger R (below BSR's fill
+    break-even) and the f32x2 containers run one SpMV per column.
     """
     import jax.numpy as jnp
     import numpy as np
@@ -93,4 +162,7 @@ def spmm(a, X):
     X = jnp.asarray(X, jnp.float32)
     if X.ndim != 2 or X.shape[0] != a.ncols:
         raise ValueError(f"X must be ({a.ncols}, R), got {X.shape}")
+    fused = _spmm_fused(a, X, X.shape[1])
+    if fused is not None:
+        return fused
     return jnp.stack([a.matvec(X[:, j]) for j in range(X.shape[1])], axis=1)

@@ -64,7 +64,14 @@ from spmv_tpu.formats.base import LANES, SUBLANES, round_up
 
 __all__ = ["panel_spmv", "segmented_spmv", "inverse_permute_blocks",
            "panel_spmv_fused", "panel_spmv_partials",
-           "segmented_spmv_fused", "segmented_spmv_partials"]
+           "segmented_spmv_fused", "segmented_spmv_partials",
+           "panel_spmv_multi", "segmented_spmv_multi", "MULTI_RHS_MAX"]
+
+# Fused multi-RHS ceiling: the kernel streams the plan ONCE for R
+# right-hand sides (measured 1.19x per vector at R=2, 1.32x at R=4 vs R
+# separate passes, scripts/probe_spmm.py); past R~8 the per-vector time
+# saturates at the compute share and BSR's block-dense path takes over.
+MULTI_RHS_MAX = 8
 
 def _interpret() -> bool:
     return jax.default_backend() != "tpu"
@@ -122,6 +129,14 @@ def _window_partial(op_ref, pieces, meta_ref, k: int, ns: int,
     tt = jax.lax.broadcasted_iota(jnp.int32, (W, chunk), 0)
     Rw = (jnp.broadcast_to(wv, (W, chunk)) == tt).astype(jnp.bfloat16)
     op_ref[k * W : (k + 1) * W, :] = _split_rowsum(Rw, pieces)
+
+
+def _window_rw(meta_ref, k: int, chunk: int, W: int):
+    """The compare-built 0/1 window-reduction matrix for sub-chunk k —
+    shared across the R right-hand sides of the multi-RHS kernels."""
+    wv = meta_ref[k : k + 1, 0:chunk].astype(jnp.int32)  # (1,chunk)
+    tt = jax.lax.broadcasted_iota(jnp.int32, (W, chunk), 0)
+    return (jnp.broadcast_to(wv, (W, chunk)) == tt).astype(jnp.bfloat16)
 
 
 def _window_accumulate(o_ref, pieces, meta_ref, base_ref, k: int, ns: int,
@@ -475,6 +490,174 @@ def segmented_spmv_fused(dev, x2d):
         interpret=_interpret(),
     )(dev.base_w, dev.sub_base, *dev.vals, *dev.lo, dev.hi, dev.gidx,
       dev.meta, x2d)
+
+
+# ----------------------------------------------------- multi-RHS variants
+
+
+def _scatter_kernel_multi(ns: int, W: int, rhs: int, out_rows: int,
+                          base_ref, p_ref, o_ref):
+    step = pl.program_id(0)
+
+    @pl.when(step == 0)
+    def _():
+        o_ref[:] = jnp.zeros_like(o_ref)
+
+    for k in range(ns):
+        base = base_ref[step * ns + k]
+        for r in range(rhs):
+            j = k * rhs + r
+            o_ref[pl.ds(base + r * out_rows, W), :] += (
+                p_ref[j * W : (j + 1) * W, :])
+
+
+def _window_scatter_multi(partials, base_w, ns: int, W: int, rhs: int,
+                          out_rows: int):
+    nsteps = partials.shape[0] // (ns * rhs * W)
+    return pl.pallas_call(
+        functools.partial(_scatter_kernel_multi, ns, W, rhs, out_rows),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(nsteps,),
+            in_specs=[pl.BlockSpec((ns * rhs * W, LANES),
+                                   lambda i, *_: (i, 0),
+                                   memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        ),
+        out_shape=jax.ShapeDtypeStruct((rhs * out_rows, LANES), jnp.float32),
+        interpret=_interpret(),
+    )(base_w, partials)
+
+
+def _seg_kernel_multi(chunk: int, ns: int, kva: int, pack: int, W: int,
+                      rhs: int, xS: int, sub_base_ref, *refs):
+    (vals_refs, lo_refs, hi_refs, gidx_refs, meta_ref,
+     x_ref, op_ref) = _seg_refs(pack, kva, refs)
+    step = pl.program_id(0)
+
+    U = _triu_ones().astype(jnp.bfloat16)
+    nsub = chunk // SUBLANES
+    for k in range(ns):
+        g0 = step * (ns * nsub) + k * nsub
+        # plan streams sliced ONCE per sub-chunk, shared by all R vectors
+        hi_c = _chunk_slice(hi_refs, k, ns, chunk).astype(jnp.int32)
+        gi = _chunk_slice(gidx_refs, k, ns, chunk).astype(jnp.int32)
+        los = [_chunk_slice((lo_refs[pp],), k, ns, chunk).astype(jnp.int32)
+               for pp in range(pack)]
+        vs = [_chunk_slice(vals_refs[pp * kva:(pp + 1) * kva], k, ns, chunk)
+              for pp in range(pack)]
+        Rw = _window_rw(meta_ref, k, chunk, W)
+        for r in range(rhs):
+            ts = []
+            for s in range(nsub):
+                w = x_ref[pl.ds(r * xS + sub_base_ref[g0 + s], SUBLANES), :]
+                ts.append(jnp.take_along_axis(
+                    w, hi_c[s * SUBLANES:(s + 1) * SUBLANES, :], axis=0))
+            T = jnp.concatenate(ts, axis=0)
+            p = jnp.zeros((chunk, LANES), jnp.float32)
+            c2 = jnp.zeros((chunk, LANES), jnp.float32)
+            for pp in range(pack):
+                t = vs[pp] * jnp.take_along_axis(T, los[pp] & (LANES - 1),
+                                                 axis=1)
+                p = p + t
+                c2 = c2 + jnp.where(los[pp] >= LANES, t, 0.0)
+            d = _split_dot(p, U) - c2
+            t = jnp.take_along_axis(d, gi, axis=1)
+            tsh = jnp.concatenate(
+                [jnp.zeros((chunk, 1), jnp.float32), t[:, : LANES - 1]],
+                axis=1)
+            j = k * rhs + r
+            op_ref[j * W : (j + 1) * W, :] = _split_rowsum(Rw, t - tsh)
+
+
+def _panel_kernel_multi(chunk: int, ns: int, kva: int, pack: int, W: int,
+                        rhs: int, xS: int, sub_base_ref, *refs):
+    (vals_refs, lo_refs, hi_refs, meta_ref,
+     x_ref, op_ref) = _panel_refs(pack, kva, refs)
+    step = pl.program_id(0)
+
+    nsub = chunk // SUBLANES
+    for k in range(ns):
+        g0 = step * (ns * nsub) + k * nsub
+        hi_c = _chunk_slice(hi_refs, k, ns, chunk).astype(jnp.int32)
+        los = [_chunk_slice((lo_refs[pp],), k, ns, chunk).astype(jnp.int32)
+               for pp in range(pack)]
+        vs = [_chunk_slice(vals_refs[pp * kva:(pp + 1) * kva], k, ns, chunk)
+              for pp in range(pack)]
+        Rw = _window_rw(meta_ref, k, chunk, W)
+        for r in range(rhs):
+            ts = []
+            for s in range(nsub):
+                w = x_ref[pl.ds(r * xS + sub_base_ref[g0 + s], SUBLANES), :]
+                ts.append(jnp.take_along_axis(
+                    w, hi_c[s * SUBLANES:(s + 1) * SUBLANES, :], axis=0))
+            T = jnp.concatenate(ts, axis=0)
+            p = jnp.zeros((chunk, LANES), jnp.float32)
+            for pp in range(pack):
+                p = p + vs[pp] * jnp.take_along_axis(T, los[pp], axis=1)
+            j = k * rhs + r
+            op_ref[j * W : (j + 1) * W, :] = _split_rowsum(Rw, p)
+
+
+@functools.partial(jax.jit, static_argnames=("rhs",))
+def segmented_spmv_multi(dev, x2d, rhs: int):
+    """Engine 2, fused multi-RHS: one plan-stream pass computes R
+    segmented SpMVs against R stacked x tables (x2d is (R·S, 128), the
+    r-th table at rows [r·S, (r+1)·S)).  Returns (R·out_rows, 128) — the
+    r-th y at rows [r·out_rows, (r+1)·out_rows).  Measured 1.19×/1.32×
+    per vector at R=2/4 vs R separate passes (scripts/probe_spmm.py) —
+    the plan DMA amortizes over R while the per-vector VPU work stays."""
+    chunk, ns, kva, pack = dev.chunk, dev.ns, dev.kva, dev.pack
+    W = dev.w_rows
+    TM = dev.vals[0].shape[0] * kva
+    nsteps = TM // (chunk * ns)
+    xS = x2d.shape[0] // rhs
+    kernel = functools.partial(_seg_kernel_multi, chunk, ns, kva, pack, W,
+                               rhs, xS)
+    partials = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(nsteps,),
+            in_specs=_seg_in_specs(chunk, ns, kva, pack),
+            out_specs=pl.BlockSpec((ns * rhs * W, LANES),
+                                   lambda i, *_: (i, 0),
+                                   memory_space=pltpu.VMEM),
+        ),
+        out_shape=jax.ShapeDtypeStruct((nsteps * ns * rhs * W, LANES),
+                                       jnp.float32),
+        interpret=_interpret(),
+    )(dev.sub_base, *dev.vals, *dev.lo, dev.hi, dev.gidx, dev.meta, x2d)
+    return _window_scatter_multi(partials, dev.base_w, ns, W, rhs,
+                                 dev.out_rows)
+
+
+@functools.partial(jax.jit, static_argnames=("rhs",))
+def panel_spmv_multi(dev, x2d, rhs: int):
+    """Engine 1, fused multi-RHS (see ``segmented_spmv_multi``)."""
+    chunk, ns, kva, pack = dev.chunk, dev.ns, dev.kva, dev.pack
+    W = dev.w_rows
+    TM = dev.vals[0].shape[0] * kva
+    nsteps = TM // (chunk * ns)
+    xS = x2d.shape[0] // rhs
+    kernel = functools.partial(_panel_kernel_multi, chunk, ns, kva, pack, W,
+                               rhs, xS)
+    partials = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(nsteps,),
+            in_specs=_panel_in_specs(chunk, ns, kva, pack),
+            out_specs=pl.BlockSpec((ns * rhs * W, LANES),
+                                   lambda i, *_: (i, 0),
+                                   memory_space=pltpu.VMEM),
+        ),
+        out_shape=jax.ShapeDtypeStruct((nsteps * ns * rhs * W, LANES),
+                                       jnp.float32),
+        interpret=_interpret(),
+    )(dev.sub_base, *dev.vals, *dev.lo, dev.hi, dev.meta, x2d)
+    return _window_scatter_multi(partials, dev.base_w, ns, W, rhs,
+                                 dev.out_rows)
 
 
 # ------------------------------------------------------- permute epilogue
