@@ -111,6 +111,20 @@ def _split_rowsum(R, p):
             + jnp.dot(R, plo, preferred_element_type=jnp.float32))
 
 
+def _lane_shift_diff(t):
+    """``t − shift₁(t)`` along lanes with lane 0 bound at 0 — the
+    per-lane segment difference.  Uses the hardware lane rotate
+    (``pltpu.roll``) + a lane-0 mask instead of a concat: the concat
+    materializes a new (chunk,128) buffer and measured +72 GB/s slower
+    at production geometry (scripts/probe_ablate3.py ``rollshift`` vs
+    ``full``, DESIGN.md fact 13).  Exact — same f32 arithmetic, only
+    the shift's implementation changes."""
+    rows = t.shape[0]
+    rolled = pltpu.roll(t, 1, 1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 1)
+    return t - jnp.where(lane == 0, 0.0, rolled)
+
+
 def _window_partial(op_ref, pieces, meta_ref, k: int, ns: int,
                     chunk: int, W: int):
     """Reduce a (chunk,128) sub-chunk into its (W,128) y-window partial:
@@ -361,13 +375,11 @@ def _seg_pieces(k: int, ns: int, chunk: int, pack: int, kva: int,
     # pieces = d[gi] − d[shift(gi)].  Gathering at the shifted index
     # equals shifting the gathered values (same per-row table), so ONE
     # lane gather + a lane shift replaces two gathers (the gathers
-    # cost ~85 GB/s of the DMA ceiling, DESIGN.md fact 9).  Absent
+    # cost ~46 GB/s of the DMA ceiling, DESIGN.md fact 13).  Absent
     # lids vanish as t−t (gidx is a running max); lane 0's bound is
     # d[:,0] == 0 (the guaranteed zero pad).
     t = jnp.take_along_axis(d, gi, axis=1)
-    ts = jnp.concatenate(
-        [jnp.zeros((chunk, 1), jnp.float32), t[:, : LANES - 1]], axis=1)
-    return t - ts
+    return _lane_shift_diff(t)
 
 
 def _seg_refs(pack: int, kva: int, refs):
@@ -563,11 +575,9 @@ def _seg_kernel_multi(chunk: int, ns: int, kva: int, pack: int, W: int,
                 c2 = c2 + jnp.where(los[pp] >= LANES, t, 0.0)
             d = _split_dot(p, U) - c2
             t = jnp.take_along_axis(d, gi, axis=1)
-            tsh = jnp.concatenate(
-                [jnp.zeros((chunk, 1), jnp.float32), t[:, : LANES - 1]],
-                axis=1)
             j = k * rhs + r
-            op_ref[j * W : (j + 1) * W, :] = _split_rowsum(Rw, t - tsh)
+            op_ref[j * W : (j + 1) * W, :] = _split_rowsum(
+                Rw, _lane_shift_diff(t))
 
 
 def _panel_kernel_multi(chunk: int, ns: int, kva: int, pack: int, W: int,

@@ -300,9 +300,11 @@ def _seg_kernel_x2(chunk: int, ns: int, kva: int, pack: int, W: int,
         # shifting the gathered values (see engines._seg_kernel)
         th = jnp.take_along_axis(dh, gi, axis=1)
         te = jnp.take_along_axis(de, gi, axis=1)
-        zc = jnp.zeros((chunk, 1), jnp.float32)
-        ths = jnp.concatenate([zc, th[:, : LANES - 1]], axis=1)
-        tes = jnp.concatenate([zc, te[:, : LANES - 1]], axis=1)
+        # hardware lane rotate + lane-0 mask — the concat shift measured
+        # +72 GB/s slower on the f32 engine (engines._lane_shift_diff)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (chunk, LANES), 1)
+        ths = jnp.where(lane == 0, 0.0, pltpu.roll(th, 1, 1))
+        tes = jnp.where(lane == 0, 0.0, pltpu.roll(te, 1, 1))
         ph2, pe2 = _two_sum_acc(th, te - tes, -ths)
         _ds_window_accumulate(oh_ref, ol_ref, ph2, pe2, meta_ref, base_ref,
                               k, ns, chunk, W)
