@@ -124,6 +124,22 @@ def main():
         print(f"power-law suite: FAILED {type(e).__name__}: {e}",
               file=sys.stderr)
 
+    # Fused multi-RHS (DESIGN.md fact 12): one plan-stream pass for R=4
+    # right-hand sides on the cant-scale csr — recorded so the artifact
+    # carries the measured per-vector win over the column loop.
+    spmm_row = None
+    try:
+        from spmv_tpu.bench.runner import bench_spmm
+
+        r4 = bench_spmm(objs["csr"], "csr", 4, iters_a=100, iters_b=500,
+                        repeats=10)
+        spmm_row = round(r4["gnnzvec_per_s"], 3)
+        results["__spmm_r4__"] = r4
+        print(f"spmm csr R=4: {r4['ms_per_spmm']:7.3f} ms "
+              f"{r4['gnnzvec_per_s']:6.2f} Gnnz·vec/s", file=sys.stderr)
+    except Exception as e:  # pragma: no cover
+        print(f"spmm suite: FAILED {type(e).__name__}: {e}", file=sys.stderr)
+
     # Beyond-VMEM single-chip: a 4.2M x 4.2M band matrix (x table alone
     # ~16 MB > the 12 MB resident-vector budget) through the slab x panel
     # tiled container — the capability the reference got from plain
@@ -179,6 +195,7 @@ def main():
         "power_law_best_gnnz_per_s": (round(pl_best, 3)
                                       if pl_best is not None else None),
         "big_tiled_gnnz_per_s": big_row,
+        "spmm_r4_gnnzvec_per_s": spmm_row,
         "roofline_pct_per_format": {
             f: round(r["roofline_pct"], 1) for f, r in results.items()
             if "roofline_pct" in r},

@@ -32,10 +32,15 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+import os
+
 LANES, SUB = 128, 8
 NCOLS = 62464
 S = NCOLS // LANES
-P, CHUNK, NS, KVA = 4, 128, 4, 4
+P = 4
+CHUNK = int(os.environ.get("AB_CHUNK", 128))
+NS = int(os.environ.get("AB_NS", 4))
+KVA = int(os.environ.get("AB_KVA", 4))
 W = 16
 ROWS = 8704
 NV = P * KVA

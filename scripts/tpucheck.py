@@ -18,7 +18,7 @@ import numpy as np
 
 
 def main() -> int:
-    rnd = int(sys.argv[1]) if len(sys.argv) > 1 else 2
+    rnd = int(sys.argv[1]) if len(sys.argv) > 1 else 3
 
     import jax
 
@@ -127,6 +127,31 @@ def main() -> int:
                               "ok": False, "error": str(e)})
         ok_all = False
         print(f"band       csr/tiled: FAILED {e}", file=sys.stderr)
+
+    # fused multi-RHS engine pass (api.spmm, 2 <= R <= MULTI_RHS_MAX)
+    try:
+        info, r, c, v = cases["power_law"]
+        A = np.zeros((info.nrows, info.ncols))
+        A[r, c] = v
+        X = np.random.default_rng(9).standard_normal(
+            (info.ncols, 4)).astype(np.float32)
+        ref = A @ X
+        for fmt in ("csr", "hyb"):
+            a = spmv_tpu.from_coo(fmt, info.nrows, info.ncols, r, c, v)
+            Y = np.asarray(spmv_tpu.spmm(a, X))
+            err = float(np.abs(Y - ref).max() / max(np.abs(ref).max(), 1.0))
+            ok = err < 2e-3
+            out["checks"].append({"matrix": "power_law",
+                                  "format": f"{fmt}/spmm-R4",
+                                  "ok": ok, "max_rel_err": err})
+            ok_all &= ok
+            print(f"power_law  {fmt}/spmm-R4: rel err {err:.3e}",
+                  file=sys.stderr)
+    except Exception as e:  # noqa: BLE001
+        out["checks"].append({"matrix": "power_law", "format": "spmm-R4",
+                              "ok": False, "error": str(e)})
+        ok_all = False
+        print(f"power_law  spmm-R4: FAILED {e}", file=sys.stderr)
 
     out["ok"] = ok_all
     path = f"TPUCHECK_r{rnd:02d}.json"

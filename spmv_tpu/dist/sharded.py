@@ -505,10 +505,11 @@ class RowShardedSpmv:
         return self.st.ncols
 
     def spmm(self, X):
-        """Row-sharded SpMM: Y = A @ X for X (ncols, R) — per-shard
-        matmat, each column's y sharded over the mesh like ``matvec``
-        (the R dispatches pipeline; see ``api.spmm`` for why a fused
-        multi-RHS kernel measured slower than the column loop)."""
+        """Row-sharded SpMM: Y = A @ X for X (ncols, R) — one sharded
+        matvec per column, each column's y sharded over the mesh like
+        ``matvec``.  (The single-chip fused multi-RHS engine pass,
+        DESIGN.md fact 12, is not yet routed through ``shard_map`` —
+        the column loop is the distributed implementation.)"""
         from spmv_tpu.api import spmm as _spmm
 
         return _spmm(self, X)
