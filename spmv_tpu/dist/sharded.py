@@ -504,15 +504,109 @@ class RowShardedSpmv:
     def ncols(self) -> int:
         return self.st.ncols
 
-    def spmm(self, X):
-        """Row-sharded SpMM: Y = A @ X for X (ncols, R) — one sharded
-        matvec per column, each column's y sharded over the mesh like
-        ``matvec``.  (The single-chip fused multi-RHS engine pass,
-        DESIGN.md fact 12, is not yet routed through ``shard_map`` —
-        the column loop is the distributed implementation.)"""
-        from spmv_tpu.api import spmm as _spmm
+    def _multi_fits(self, rhs: int) -> bool:
+        """Per-shard VMEM envelope of the fused multi-RHS kernels (see
+        ``api._multi_rhs_fits``): R stacked x tables + R·out_rows y rows
+        + double-buffered (ns·R·W,128) partials blocks."""
+        xtab = rhs * self.S * LANES * 4
+        for st in filter(None, (self.st, self.st_spill)):
+            if (xtab > 10 * 2**20
+                    or rhs * st.out_rows * LANES * 4 > 10 * 2**20
+                    or 2 * st.ns * rhs * st.w_rows * LANES * 4 > 4 * 2**20):
+                return False
+        return True
 
-        return _spmm(self, X)
+    def _build_multi(self, rhs: int):
+        """shard_map'd fused multi-RHS pass: ONE plan stream + ONE x
+        all-gather serve all R columns (vs R gathers in the column
+        loop) — the distributed analog of DESIGN.md fact 12."""
+        from spmv_tpu.kernels.engines import (panel_spmv_multi,
+                                              segmented_spmv_multi)
+
+        st, axis, mesh = self.st, self.axis, self.mesh
+        st_spill = self.st_spill
+        gather_x = self.gather_x
+        is_sell = self.is_sell
+        names = list(self.arrays)
+        nb = st.rows_per_shard // LANES
+        nb_pad = (st.rows_pad_per_shard or st.rows_per_shard) // LANES
+
+        def shard_fn(x_local, *plan):
+            a = dict(zip(names, (p[0] for p in plan)))
+            if gather_x:
+                x2d = jax.lax.all_gather(x_local, axis, axis=0, tiled=True)
+            else:
+                x2d = x_local
+            dev = _make_dev(a, st)
+            if st.is_seg:
+                y = segmented_spmv_multi(dev, x2d, rhs)
+                return y.reshape(rhs, st.out_rows, LANES)[:, :nb]
+            y = panel_spmv_multi(dev, x2d, rhs).reshape(
+                rhs, st.out_rows, LANES)
+            if st_spill is not None:  # HYB: add the segmented spill part
+                sp = {k[3:]: v for k, v in a.items() if k.startswith("sp_")}
+                ys = segmented_spmv_multi(
+                    _make_dev(sp, st_spill), x2d, rhs).reshape(
+                        rhs, st_spill.out_rows, LANES)
+                n = max(y.shape[1], ys.shape[1])
+                if y.shape[1] < n:
+                    y = jnp.pad(y, ((0, 0), (0, n - y.shape[1]), (0, 0)))
+                if ys.shape[1] < n:
+                    ys = jnp.pad(ys, ((0, 0), (0, n - ys.shape[1]), (0, 0)))
+                y = y + ys
+            if is_sell:
+                cols = []
+                for r in range(rhs):
+                    y2 = y[r, :nb_pad]
+                    if nb_pad < 8:  # epilogue windows slice 8 table rows
+                        y2 = jnp.pad(y2, ((0, 8 - nb_pad), (0, 0)))
+                    cols.append(inverse_permute_blocks(
+                        a["perm_whi"], a["perm_idx"], y2)[:, : nb * LANES])
+                return jnp.stack(cols).reshape(rhs, nb, LANES)
+            return y[:, :nb]
+
+        xspec = P(axis, None) if gather_x else P()
+        return jax.jit(shard_map(
+            shard_fn, mesh=mesh,
+            in_specs=(xspec,) + (P(axis),) * len(names),
+            out_specs=P(None, axis, None),
+            check_vma=False,
+        ))
+
+    def spmm(self, X):
+        """Row-sharded SpMM: Y = A @ X for X (ncols, R).
+
+        For 2 ≤ R ≤ ``engines.MULTI_RHS_MAX`` (f32, within the per-shard
+        VMEM envelope) the shards run the fused multi-RHS engine pass —
+        one plan-stream pass and ONE x all-gather for all R columns
+        (DESIGN.md fact 12).  Otherwise one sharded matvec per column."""
+        from spmv_tpu.api import spmm as _spmm
+        from spmv_tpu.kernels.engines import MULTI_RHS_MAX
+
+        Xa = np.asarray(X)
+        R = Xa.shape[1] if Xa.ndim == 2 else 0
+        if (self.x2 or R < 2 or R > MULTI_RHS_MAX
+                or not self._multi_fits(R)):
+            return _spmm(self, X)
+        if Xa.shape[0] != self.st.ncols:
+            raise ValueError(
+                f"X must be ({self.st.ncols}, R), got {Xa.shape}")
+        if not hasattr(self, "_multi_fns"):
+            self._multi_fns = {}
+        fn = self._multi_fns.get(R)
+        if fn is None:
+            fn = self._multi_fns[R] = self._build_multi(R)
+        tabs = np.zeros((R * self.S, LANES), np.float32)
+        for r in range(R):
+            col = np.zeros(self.S * LANES, np.float32)
+            col[: self.st.ncols] = np.asarray(Xa[:, r], np.float32)
+            tabs[r * self.S:(r + 1) * self.S] = col.reshape(self.S, LANES)
+        x2d = jnp.asarray(tabs)
+        if self.gather_x:
+            x2d = put_sharded(
+                x2d, NamedSharding(self.mesh, P(self.axis, None)))
+        Y3 = fn(x2d, *self.arrays.values())  # (R, NB_total, 128)
+        return jnp.asarray(Y3).reshape(R, -1)[:, : self.st.nrows].T
 
 
 class ColShardedSpmv:

@@ -215,3 +215,28 @@ def test_row_sharded_sell_sigma_padded_shards(mesh):
                         dtype="f32x2")
     err = np.abs(np.asarray(a2.matvec(x.astype(np.float64))) - yref64).max()
     assert err < 1e-6, f"x2 abs err {err:.3e}"
+
+
+@pytest.mark.parametrize("fmt", ["csr", "sell", "hyb"])
+def test_row_sharded_fused_spmm(mesh, fmt):
+    """2 <= R <= MULTI_RHS_MAX row-sharded SpMM takes the fused
+    multi-RHS engine pass per shard — ONE x all-gather for all R
+    columns (DESIGN.md fact 12); beyond the envelope it falls back to
+    the per-column sharded matvec loop."""
+    from spmv_tpu import synth
+    from spmv_tpu.kernels.engines import MULTI_RHS_MAX
+
+    info, r, c, v = synth.power_law(n=1024, avg_nnz_per_row=10,
+                                    bandwidth=256, seed=5)
+    A = np.zeros((info.nrows, info.ncols))
+    A[r, c] = v
+    a = RowShardedSpmv(fmt, info.nrows, info.ncols, r, c, v, mesh,
+                       gather_x=True)
+    for R in (3, MULTI_RHS_MAX + 1):  # fused path, then the fallback
+        X = np.random.default_rng(R).standard_normal(
+            (info.ncols, R)).astype(np.float32)
+        Y = np.asarray(a.spmm(X))
+        ref = A @ X
+        assert Y.shape == ref.shape
+        err = np.abs(Y - ref).max() / max(np.abs(ref).max(), 1.0)
+        assert err < 2e-3, (fmt, R, err)
