@@ -872,8 +872,108 @@ class ColShardedSpmv:
     def ncols(self) -> int:
         return self.st.ncols
 
-    def spmm(self, X):
-        """Column-sharded SpMM: one psum'd matvec per RHS column."""
-        from spmv_tpu.api import spmm as _spmm
+    def _multi_fits(self, rhs: int) -> bool:
+        """Per-shard VMEM envelope of the fused multi-RHS kernels (R
+        stacked LOCAL x tables + R·out_rows y + partials blocks)."""
+        xtab = rhs * self.S_local * LANES * 4
+        for st in filter(None, (self.st, self.st_spill)):
+            if (xtab > 10 * 2**20
+                    or rhs * st.out_rows * LANES * 4 > 10 * 2**20
+                    or 2 * st.ns * rhs * st.w_rows * LANES * 4 > 4 * 2**20):
+                return False
+        return True
 
-        return _spmm(self, X)
+    def _build_multi(self, rhs: int):
+        """shard_map'd fused multi-RHS pass: one plan-stream pass per
+        shard serves all R columns; ONE psum carries the (R, NB, 128)
+        partial stack (DESIGN.md fact 12)."""
+        from spmv_tpu.kernels.engines import (panel_spmv_multi,
+                                              segmented_spmv_multi)
+
+        st, axis, mesh = self.st, self.axis, self.mesh
+        st_spill = self.st_spill
+        S_local, cps = self.S_local, self.cps
+        names = list(self.arrays)
+        nb = cdiv(st.nrows, LANES)
+
+        def shard_fn(x_local, *plan):
+            a = dict(zip(names, (p[0] for p in plan)))
+            xr = x_local[0]  # (rhs·cps,) — column r's slab at [r·cps, ...)
+            tabs = []
+            for r in range(rhs):
+                xf = jnp.pad(xr[r * cps:(r + 1) * cps],
+                             (0, S_local * LANES - cps))
+                tabs.append(xf.reshape(S_local, LANES))
+            x2d = jnp.concatenate(tabs, axis=0)
+            dev = _make_dev(a, st)
+            if st.is_seg:
+                y = segmented_spmv_multi(dev, x2d, rhs).reshape(
+                    rhs, st.out_rows, LANES)[:, :nb]
+            else:
+                y = panel_spmv_multi(dev, x2d, rhs).reshape(
+                    rhs, st.out_rows, LANES)
+                if st_spill is not None:  # HYB spill part
+                    sp = {k[3:]: v for k, v in a.items()
+                          if k.startswith("sp_")}
+                    ys = segmented_spmv_multi(
+                        _make_dev(sp, st_spill), x2d, rhs).reshape(
+                            rhs, st_spill.out_rows, LANES)
+                    n = max(y.shape[1], ys.shape[1])
+                    if y.shape[1] < n:
+                        y = jnp.pad(y, ((0, 0), (0, n - y.shape[1]),
+                                        (0, 0)))
+                    if ys.shape[1] < n:
+                        ys = jnp.pad(ys, ((0, 0), (0, n - ys.shape[1]),
+                                          (0, 0)))
+                    y = y + ys
+                y = y[:, :nb]
+            return jax.lax.psum(y, axis)
+
+        return jax.jit(shard_map(
+            shard_fn, mesh=mesh,
+            in_specs=(P(axis, None),) + (P(axis),) * len(names),
+            out_specs=P(),
+            check_vma=False,
+        ))
+
+    def spmm(self, X):
+        """Column-sharded SpMM: for 2 ≤ R ≤ ``engines.MULTI_RHS_MAX``
+        (f32, within the per-shard VMEM envelope) the shards run the
+        fused multi-RHS pass with ONE psum for all R columns; otherwise
+        one psum'd matvec per column."""
+        from spmv_tpu.api import spmm as _spmm
+        from spmv_tpu.kernels.engines import MULTI_RHS_MAX
+
+        Xa = np.asarray(X)
+        R = Xa.shape[1] if Xa.ndim == 2 else 0
+        if (self.x2 or R < 2 or R > MULTI_RHS_MAX
+                or not self._multi_fits(R)):
+            return _spmm(self, X)
+        if Xa.shape[0] != self.st.ncols:
+            raise ValueError(
+                f"X must be ({self.st.ncols}, R), got {Xa.shape}")
+        if not hasattr(self, "_multi_fns"):
+            self._multi_fns = {}
+        fn = self._multi_fns.get(R)
+        if fn is None:
+            fn = self._multi_fns[R] = self._build_multi(R)
+        D = self.st.n_shards
+        slabs = np.zeros((D, R * self.cps), np.float32)
+        for r in range(R):
+            col = np.zeros(D * self.cps, np.float32)
+            col[: self.st.ncols] = np.asarray(Xa[:, r], np.float32)
+            slabs[:, r * self.cps:(r + 1) * self.cps] = col.reshape(
+                D, self.cps)
+        xs = put_sharded(jnp.asarray(slabs),
+                         NamedSharding(self.mesh, P(self.axis, None)))
+        Y3 = fn(xs, *self.arrays.values())  # (R, NB, 128), replicated
+        cols = []
+        for r in range(R):
+            y = Y3[r]
+            if self._perm_whi is not None:  # SELL σ-unpermute per column
+                if y.shape[0] < 8:
+                    y = jnp.pad(y, ((0, 8 - y.shape[0]), (0, 0)))
+                y = inverse_permute_blocks(self._perm_whi, self._perm_idx,
+                                           y)
+            cols.append(jnp.asarray(y).reshape(-1)[: self.true_nrows])
+        return jnp.stack(cols, axis=1)

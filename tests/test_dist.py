@@ -240,3 +240,23 @@ def test_row_sharded_fused_spmm(mesh, fmt):
         assert Y.shape == ref.shape
         err = np.abs(Y - ref).max() / max(np.abs(ref).max(), 1.0)
         assert err < 2e-3, (fmt, R, err)
+
+
+@pytest.mark.parametrize("fmt", ["csr", "sell", "hyb"])
+def test_col_sharded_fused_spmm(mesh, fmt):
+    """Column-sharded fused multi-RHS: one plan pass + ONE psum for all
+    R columns (DESIGN.md fact 12)."""
+    from spmv_tpu import synth
+
+    info, r, c, v = synth.power_law(n=1024, avg_nnz_per_row=10,
+                                    bandwidth=256, seed=6)
+    A = np.zeros((info.nrows, info.ncols))
+    A[r, c] = v
+    a = ColShardedSpmv(fmt, info.nrows, info.ncols, r, c, v, mesh)
+    X = np.random.default_rng(1).standard_normal(
+        (info.ncols, 3)).astype(np.float32)
+    Y = np.asarray(a.spmm(X))
+    ref = A @ X
+    assert Y.shape == ref.shape
+    err = np.abs(Y - ref).max() / max(np.abs(ref).max(), 1.0)
+    assert err < 2e-3, (fmt, err)
