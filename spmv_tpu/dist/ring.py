@@ -225,8 +225,113 @@ class RingShardedSpmv:
     def ncols(self) -> int:
         return self.st.ncols
 
-    def spmm(self, X):
-        """Ring-sharded SpMM: one ring-rotated matvec per RHS column."""
-        from spmv_tpu.api import spmm as _spmm
+    def _multi_fits(self, rhs: int) -> bool:
+        """Per-shard VMEM envelope of the fused multi-RHS ring: R
+        stacked LOCAL x tables ride the ring as one carry."""
+        xtab = rhs * self.S_local * LANES * 4
+        for st in filter(None, (self.st, self.st_spill)):
+            if (xtab > 10 * 2**20
+                    or rhs * st.out_rows * LANES * 4 > 10 * 2**20
+                    or 2 * st.ns * rhs * st.w_rows * LANES * 4 > 4 * 2**20):
+                return False
+        return True
 
-        return _spmm(self, X)
+    def _build_multi(self, rhs: int):
+        """Fused multi-RHS ring: each step multiplies the held x block of
+        ALL R columns through one plan-stream pass, then ppermutes the
+        whole (R·S_local, 128) stack — D collectives total instead of
+        R·D (DESIGN.md fact 12)."""
+        from spmv_tpu.kernels.engines import (panel_spmv_multi,
+                                              segmented_spmv_multi)
+
+        st, axis, mesh, D = self.st, self.axis, self.mesh, self.D
+        st_spill = self.st_spill
+        names = list(self.arrays)
+        ring_names = [n for n in names if n not in ("perm_whi", "perm_idx")]
+        has_perm = "perm_whi" in names
+        nb = self.rps_pad // LANES
+
+        def shard_fn(x_blk, *plan):
+            local = dict(zip(names, (p[0] for p in plan)))
+            my = jax.lax.axis_index(axis)
+
+            def step(k, carry):
+                x2d, y = carry  # x2d (rhs·S_local, 128); y (rhs, nb, 128)
+                j = jax.lax.rem(my - k + D, D)
+                sub = {n: jax.lax.dynamic_index_in_dim(local[n], j, axis=0,
+                                                       keepdims=False)
+                       for n in ring_names}
+                dev = _make_dev(sub, st)
+                fn = segmented_spmv_multi if st.is_seg else panel_spmv_multi
+                part = fn(dev, x2d, rhs).reshape(
+                    rhs, st.out_rows, LANES)[:, :nb]
+                if st_spill is not None:  # HYB: the segmented spill part
+                    sp = {n[3:]: v for n, v in sub.items()
+                          if n.startswith("sp_")}
+                    part = part + segmented_spmv_multi(
+                        _make_dev(sp, st_spill), x2d, rhs).reshape(
+                            rhs, st_spill.out_rows, LANES)[:, :nb]
+                y = y + part
+                x2d = jax.lax.ppermute(
+                    x2d, axis, [(i, (i + 1) % D) for i in range(D)])
+                return x2d, y
+
+            y0 = jnp.zeros((rhs, nb, LANES), jnp.float32)
+            _, y = jax.lax.fori_loop(0, D, step, (x_blk[0], y0))
+            if has_perm:  # SELL: undo the slab's σ-sort per column
+                from spmv_tpu.kernels.engines import inverse_permute_blocks
+
+                cols = []
+                for r in range(rhs):
+                    y2 = (jnp.pad(y[r], ((0, 8 - nb), (0, 0)))
+                          if nb < 8 else y[r])
+                    cols.append(inverse_permute_blocks(
+                        local["perm_whi"], local["perm_idx"],
+                        y2).reshape(-1, LANES)[:nb])
+                y = jnp.stack(cols)
+            return y
+
+        return jax.jit(shard_map(
+            shard_fn, mesh=mesh,
+            in_specs=(P(axis, None, None),) + (P(axis),) * len(names),
+            out_specs=P(None, axis, None),
+            check_vma=False,
+        ))
+
+    def spmm(self, X):
+        """Ring-sharded SpMM: Y = A @ X for X (ncols, R).
+
+        For 2 ≤ R ≤ ``engines.MULTI_RHS_MAX`` (within the per-shard VMEM
+        envelope) all R columns' x blocks rotate as ONE ring carry and
+        each step runs one fused plan-stream pass — D ppermutes total
+        instead of R·D.  Otherwise one ring-rotated matvec per column."""
+        from spmv_tpu.api import spmm as _spmm
+        from spmv_tpu.kernels.engines import MULTI_RHS_MAX
+
+        Xa = np.asarray(X)
+        R = Xa.shape[1] if Xa.ndim == 2 else 0
+        if R < 2 or R > MULTI_RHS_MAX or not self._multi_fits(R):
+            return _spmm(self, X)
+        if Xa.shape[0] != self.st.ncols:
+            raise ValueError(
+                f"X must be ({self.st.ncols}, R), got {Xa.shape}")
+        if not hasattr(self, "_multi_fns"):
+            self._multi_fns = {}
+        fn = self._multi_fns.get(R)
+        if fn is None:
+            fn = self._multi_fns[R] = self._build_multi(R)
+        D, cps, S_local = self.D, self.cps, self.S_local
+        xb = np.zeros((D, R * S_local, LANES), np.float32)
+        for r in range(R):
+            col = np.zeros(D * cps, np.float32)
+            col[: self.st.ncols] = np.asarray(Xa[:, r], np.float32)
+            blocks = np.zeros((D, S_local * LANES), np.float32)
+            blocks[:, :cps] = col.reshape(D, cps)
+            xb[:, r * S_local:(r + 1) * S_local] = blocks.reshape(
+                D, S_local, LANES)
+        xs = put_sharded(jnp.asarray(xb),
+                         NamedSharding(self.mesh, P(self.axis)))
+        Y3 = self._multi_fns[R](xs, *self.arrays.values())
+        # (R, D·nb, 128) → strip each slab's σ padding, then true rows
+        Y = jnp.asarray(Y3).reshape(R, D, self.rps_pad)[:, :, : self.rps]
+        return Y.reshape(R, -1)[:, : self.st.nrows].T

@@ -260,3 +260,24 @@ def test_col_sharded_fused_spmm(mesh, fmt):
     assert Y.shape == ref.shape
     err = np.abs(Y - ref).max() / max(np.abs(ref).max(), 1.0)
     assert err < 2e-3, (fmt, err)
+
+
+@pytest.mark.parametrize("fmt", ["csr", "sell", "hyb"])
+def test_ring_sharded_fused_spmm(mesh, fmt):
+    """Ring-sharded fused multi-RHS: all R columns' x blocks rotate as
+    ONE ring carry — D ppermutes instead of R·D (DESIGN.md fact 12)."""
+    from spmv_tpu import synth
+    from spmv_tpu.dist.ring import RingShardedSpmv
+
+    info, r, c, v = synth.power_law(n=1024, avg_nnz_per_row=10,
+                                    bandwidth=256, seed=7)
+    A = np.zeros((info.nrows, info.ncols))
+    A[r, c] = v
+    a = RingShardedSpmv(fmt, info.nrows, info.ncols, r, c, v, mesh)
+    X = np.random.default_rng(2).standard_normal(
+        (info.ncols, 3)).astype(np.float32)
+    Y = np.asarray(a.spmm(X))
+    ref = A @ X
+    assert Y.shape == ref.shape
+    err = np.abs(Y - ref).max() / max(np.abs(ref).max(), 1.0)
+    assert err < 2e-3, (fmt, err)
