@@ -108,8 +108,11 @@ def main():
                                         pr, pc, pv)
                  for fmt in ["ell", "sell", "csr", "coo", "cmrs", "hyb"]}
         pl_results = {}
+        # 24 rounds: the hyb-vs-csr class flag rides a ~2% structural
+        # margin under ±5% chip noise — only tighter minima keep it
+        # honest (never widen the tie allowance instead).
         pl_bench, _pl_bw = bench_formats_interleaved(
-            pobjs, probe=True, iters_a=400, iters_b=2000, repeats=16)
+            pobjs, probe=True, iters_a=400, iters_b=2000, repeats=24)
         for fmt, r in pl_bench.items():
             pl_results[fmt] = r.to_dict()
             print(

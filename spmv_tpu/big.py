@@ -220,9 +220,15 @@ class TiledSpmv:
                 for d in range(DR):
                     y = self._slab_parts(d, rebound[d], xp)
                     probe = probe + y[0:1, :LANES]
-                probe_row = xp[0, 0:1, :] + probe * 1e-38
+                # the probe must feed back into EVERY panel: updating only
+                # panel 0 left panels 1..DC-1 loop-invariant, and XLA
+                # hoisted those tiles' entire kernels out of the loop —
+                # the recorded big row then measured a fraction of the
+                # work (billed 848 GB/s > the 819 GB/s part spec, the
+                # giveaway).  ~DC·512 B of extra traffic per iteration.
+                probe_rows = xp[:, 0:1, :] + probe[None] * 1e-38
                 return jax.lax.dynamic_update_slice(
-                    xp, probe_row[None], (0, 0, 0))
+                    xp, probe_rows, (0, 0, 0))
 
             return jax.lax.fori_loop(0, iters, body, x_panels)
 
@@ -250,13 +256,17 @@ class TiledSpmv:
     @property
     def aux_traffic_bytes(self) -> int:
         """The tiling's own extra vector traffic on top of each tile's
-        exact stream: one x-panel read per visited tile, the per-panel
-        y accumulate (read y, read part, write y), one y write per
-        slab.  (Each tile's kernel-internal aux traffic is already in
-        ``stream_bytes`` via its own traffic model.)"""
+        exact stream: one x-panel read per visited tile, one tile-part
+        read per visited tile, one y write per slab.  XLA fuses each
+        slab's ``y + p₀ + p₁ + …`` chain into a single pass, so billing
+        a 3-pass RMW per tile (read y, read part, write y — the round-3
+        original) overcounted ~150 MB on the 4.2M bench row and printed
+        an impossible 847 GB/s effective (> the 819 GB/s part spec).
+        Each tile's kernel-internal aux traffic is already in
+        ``stream_bytes`` via its own traffic model."""
         nb = self.rps // LANES
         return (self.n_tiles * self.S_local * LANES * 4
-                + self.n_tiles * 3 * nb * LANES * 4
+                + self.n_tiles * nb * LANES * 4
                 + self.DR * nb * LANES * 4)
 
     @property
