@@ -160,8 +160,36 @@ def main():
             from spmv_tpu import synth as _synth
             from spmv_tpu.big import TiledSpmv, fits_single_kernel
 
-            binfo, br, bc, bv = _synth.synthetic_cant(
-                n=4_200_000, avg_nnz_per_row=8, bandwidth=300, seed=0)
+            # This host's memory-bound NumPy is slow (~30 min to
+            # synthesize + tile-plan a 70M-nnz matrix cold); cache the
+            # synthesized triplets AND the per-tile device plans to disk
+            # so re-runs (including the driver's round-end run) rebuild
+            # in a couple of minutes.
+            cache_dir = os.path.join(os.path.dirname(
+                os.path.abspath(__file__)), ".bench_cache")
+            from spmv_tpu import cache as _cache
+
+            _cache.set_plan_cache(cache_dir)
+            tri = os.path.join(cache_dir, "big_synth_4p2M.npz")
+            if os.path.exists(tri):
+                import numpy as _np
+
+                z = _np.load(tri)
+                from spmv_tpu.io.mmio import MMInfo
+
+                binfo = MMInfo(object="matrix", format="coordinate",
+                               field="real", symmetry="general",
+                               nrows=int(z["nrows"]), ncols=int(z["ncols"]),
+                               nnz=int(z["rows"].shape[0]))
+                br, bc, bv = z["rows"], z["cols"], z["vals"]
+            else:
+                binfo, br, bc, bv = _synth.synthetic_cant(
+                    n=4_200_000, avg_nnz_per_row=8, bandwidth=300, seed=0)
+                os.makedirs(cache_dir, exist_ok=True)
+                import numpy as _np
+
+                _np.savez(tri, nrows=binfo.nrows, ncols=binfo.ncols,
+                          rows=br, cols=bc, vals=bv)
             assert not fits_single_kernel(binfo.nrows, binfo.ncols)
             big = TiledSpmv("csr", binfo.nrows, binfo.ncols, br, bc, bv)
             # Denominate against the MAIN suite's tightly-sampled ceiling
