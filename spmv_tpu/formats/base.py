@@ -331,6 +331,27 @@ def _pick_pack_panel(widths: np.ndarray) -> int:
     return best_p
 
 
+# Above this many triplets the pack choosers decide P from a contiguous
+# row-range sample: the histograms they need (per-run elements/segments)
+# are statistics, and a row-range slice preserves the local run
+# structure a uniform subsample would thin out.  np.unique over the full
+# 71M-nnz beyond-VMEM bench matrix measured 245 s on the bench host for
+# a decision a 1/9th slice reproduces.
+_PACK_SAMPLE_NNZ = 8_000_000
+
+
+def _pack_sample(rows, cols, nrows: int):
+    """(rows, cols) restricted to a leading row range holding roughly
+    ``_PACK_SAMPLE_NNZ`` elements (whole matrix if already small)."""
+    if rows.size <= 2 * _PACK_SAMPLE_NNZ:
+        return rows, cols
+    rmax = max(int(nrows * (_PACK_SAMPLE_NNZ / rows.size)), 1)
+    sel = rows < rmax
+    if int(sel.sum()) < _PACK_SAMPLE_NNZ // 8:  # degenerate distribution
+        return rows[:_PACK_SAMPLE_NNZ], cols[:_PACK_SAMPLE_NNZ]
+    return rows[sel], cols[sel]
+
+
 def panel_pack_for(rows, cols, nrows: int, ncols: int) -> int:
     """The panel-engine P the full matrix would pick (dist-layer analog of
     ``seg_pack_for``)."""
@@ -338,6 +359,7 @@ def panel_pack_for(rows, cols, nrows: int, ncols: int) -> int:
     cols = np.asarray(cols, dtype=np.int64)
     if rows.size == 0:
         return 1
+    rows, cols = _pack_sample(rows, cols, nrows)
     nstripes = cdiv(max(ncols, 1), LANES)
     gkey = (((rows >> 7) * nstripes + (cols >> 7)) * (nrows + 1)) + rows
     ug, counts = np.unique(gkey, return_counts=True)
@@ -356,6 +378,7 @@ def seg_pack_for(rows, cols, nrows: int, ncols: int) -> int:
     cols = np.asarray(cols, dtype=np.int64)
     if rows.size == 0:
         return 1
+    rows, cols = _pack_sample(rows, cols, nrows)
     nstripes = cdiv(max(ncols, 1), LANES)
     segkey = ((rows >> 7) * nstripes + (cols >> 7)) * (nrows + 1) + rows
     useg, sizes = np.unique(segkey, return_counts=True)
