@@ -297,10 +297,18 @@ def traffic_model(a) -> tuple[int, float]:
     if not hasattr(a, "dev"):  # TiledSpmv carries its own exact accounting
         return a.element_slots, (float(a.stream_bytes)
                                  + float(a.aux_traffic_bytes))
+    spill = getattr(a, "dev_spill", None)
+    if spill is not None and getattr(a, "panel_nnz", 1) == 0:
+        # pure-spill HYB never dispatches its (empty) panel container —
+        # billing its minimum-geometry arrays overstated the stream
+        slots = spill.element_slots
+        total = float(spill.stream_bytes)
+        total += float(getattr(spill, "aux_traffic_bytes", 0))
+        total += float(getattr(a, "epilogue_bytes", 0))
+        return slots, total
     slots = a.dev.element_slots
     total = float(a.dev.stream_bytes)
     total += float(getattr(a.dev, "aux_traffic_bytes", 0))  # partials pass
-    spill = getattr(a, "dev_spill", None)
     if spill is not None:
         slots += spill.element_slots
         total += float(spill.stream_bytes)

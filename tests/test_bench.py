@@ -67,10 +67,16 @@ def test_traffic_model_counts_hyb_spill_and_sell_epilogue():
 
     hyb = spmv_tpu.from_coo("hyb", info.nrows, info.ncols, r, c, v)
     _, total_h = traffic_model(hyb)
-    expected = float(hyb.dev.stream_bytes + hyb.dev.aux_traffic_bytes)
-    if hyb.dev_spill is not None:
-        expected += float(hyb.dev_spill.stream_bytes
-                          + hyb.dev_spill.aux_traffic_bytes)
+    if hyb.dev_spill is not None and hyb.panel_nnz == 0:
+        # pure-spill collapse never dispatches the (empty) panel
+        # container — only the spill stream is billed
+        expected = float(hyb.dev_spill.stream_bytes
+                         + hyb.dev_spill.aux_traffic_bytes)
+    else:
+        expected = float(hyb.dev.stream_bytes + hyb.dev.aux_traffic_bytes)
+        if hyb.dev_spill is not None:
+            expected += float(hyb.dev_spill.stream_bytes
+                              + hyb.dev_spill.aux_traffic_bytes)
     assert total_h == expected
 
 
