@@ -73,18 +73,16 @@ def _make_x(mode: str, ncols: int, seed: int = 0) -> np.ndarray:
 
 def _validate(info, rows, cols, vals, x, y, a=None) -> tuple[bool, str]:
     from spmv_tpu.oracle import (
-        check_result, engine_rel_tol, golden_spmv, seg_engine_scale)
+        check_result, container_scale, engine_rel_tol, golden_spmv)
 
     expected = golden_spmv(info.nrows, rows, cols, vals, x)
     scale = golden_spmv(info.nrows, rows, cols, np.abs(vals), np.abs(x))
-    # For segmented-engine formats, bound by the sublane-window magnitude —
+    # For segmented-engine plans, bound by the sublane-window magnitude —
     # honest for heterogeneous row scales (see oracle.seg_engine_scale).
-    # HYB's segmented part rides in spill_plan.
-    plan = getattr(a, "plan", None)
-    if plan is not None and not hasattr(plan, "gidx"):
-        plan = getattr(a, "spill_plan", None)
-    if plan is not None and hasattr(plan, "gidx"):
-        scale = seg_engine_scale(plan, x, scale)
+    # container_scale walks every SegPlan the container runs (main plan or
+    # the priced spill part of hyb/ell/sell, formats.split).
+    if a is not None:
+        scale = container_scale(a, x, scale)
     lengths = np.bincount(rows, minlength=max(info.nrows, 1)) if rows.size else np.zeros(1)
     rep = check_result(expected, y, tol_abs=1e-5, scale=scale,
                        tol_rel=engine_rel_tol(int(lengths.max() or 1)))

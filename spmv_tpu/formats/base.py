@@ -347,8 +347,13 @@ def _pack_sample(rows, cols, nrows: int):
         return rows, cols
     rmax = max(int(nrows * (_PACK_SAMPLE_NNZ / rows.size)), 1)
     sel = rows < rmax
-    if int(sel.sum()) < _PACK_SAMPLE_NNZ // 8:  # degenerate distribution
-        return rows[:_PACK_SAMPLE_NNZ], cols[:_PACK_SAMPLE_NNZ]
+    if int(sel.sum()) < _PACK_SAMPLE_NNZ // 8:
+        # degenerate distribution (the leading row range holds almost
+        # nothing) — fall back to an order-independent strided subsample;
+        # a leading slice of a column-sorted input would misrepresent the
+        # run structure
+        k = max(rows.size // _PACK_SAMPLE_NNZ, 1)
+        return rows[::k][:_PACK_SAMPLE_NNZ], cols[::k][:_PACK_SAMPLE_NNZ]
     return rows[sel], cols[sel]
 
 

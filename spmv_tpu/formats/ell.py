@@ -14,6 +14,15 @@ Reference bugs fixed by construction (SURVEY.md §2.2):
   K comes from a bincount over all rows.
 
 Also reproduces the reference's row-length stats output (``ell.c:103-104``).
+
+Round 4: the *device lowering* routes through the byte-priced panel/spill
+split (``formats.split``, the machinery HYB pioneered) — on panel-hostile
+matrices (randomized fill, power-law) the tail of each (block, stripe)
+mini-panel spills into the dense segmented stream instead of padding, so
+ELL's streamed bytes can never exceed the panel/segmented break-even.
+The format semantics (classical (rows, K) arrays, K, stats, ``from_ell``)
+are unchanged; pass ``split=False`` for the pure-panel execution (the
+dist layer does — shards keep one engine pass per collective).
 """
 
 from __future__ import annotations
@@ -22,9 +31,10 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
-from spmv_tpu.device import DevPanel, x_to_table, y_from_padded
-from spmv_tpu.formats.base import DEFAULT_CHUNK, build_panel_plan
-from spmv_tpu.kernels.engines import panel_spmv
+from spmv_tpu.device import DevPanel, DevSeg, x_to_table, y_from_padded
+from spmv_tpu.formats.base import DEFAULT_CHUNK, build_panel_plan, build_seg_plan
+from spmv_tpu.formats.split import priced_split
+from spmv_tpu.kernels.engines import panel_spmv, segmented_spmv
 
 __all__ = ["EllMatrix"]
 
@@ -38,6 +48,11 @@ class EllMatrix:
     row_length_stats: dict  # average / shortest / longest (ell.c:103-104)
     dev: DevPanel = field(repr=False)
     plan: object = field(repr=False, default=None)  # PanelPlan (host arrays)
+    # byte-priced spill part (None = pure panel; formats.split)
+    dev_spill: DevSeg | None = field(repr=False, default=None)
+    spill_plan: object = field(repr=False, default=None)  # SegPlan
+    panel_nnz: int = 0
+    spill_nnz: int = 0
     # triplets in (row, col) order, kept to materialize the classical
     # row-major (rows, K) format arrays on demand (ell.c:121-158 parity)
     _rows: np.ndarray = field(repr=False, default=None)
@@ -55,6 +70,7 @@ class EllMatrix:
         *,
         chunk: int = DEFAULT_CHUNK,
         pack: int | None = None,
+        split: bool = True,
     ) -> "EllMatrix":
         rows = np.asarray(rows, dtype=np.int64)
         order = np.lexsort((cols, rows))
@@ -66,11 +82,26 @@ class EllMatrix:
             "shortest": int(lengths.min()) if nrows else 0,
             "longest": K,
         }
-        plan = build_panel_plan(rows_s, cols_s, vals_s, nrows, ncols, chunk=chunk,
-                                pack=pack)
+        dev_spill = spill_plan = None
+        keep_nnz, spill_nnz = rows.size, 0
+        if split and rows.size:
+            r, c, v, keep, _shape = priced_split(rows_s, cols_s, vals_s,
+                                                 nrows, ncols)
+            plan = build_panel_plan(r[keep], c[keep], v[keep], nrows, ncols,
+                                    chunk=chunk, pack=pack)
+            if (~keep).any():
+                spill_plan = build_seg_plan(r[~keep], c[~keep], v[~keep],
+                                            nrows, ncols, chunk=chunk)
+                dev_spill = DevSeg.from_plan(spill_plan)
+            keep_nnz, spill_nnz = int(keep.sum()), int((~keep).sum())
+        else:
+            plan = build_panel_plan(rows_s, cols_s, vals_s, nrows, ncols,
+                                    chunk=chunk, pack=pack)
         return cls(
             nrows=nrows, ncols=ncols, nnz=rows.size, K=K,
             row_length_stats=stats, dev=DevPanel.from_plan(plan), plan=plan,
+            dev_spill=dev_spill, spill_plan=spill_plan,
+            panel_nnz=keep_nnz, spill_nnz=spill_nnz,
             _rows=rows_s, _cols=cols_s.astype(np.int32),
             _vals=vals_s,
         )
@@ -123,7 +154,23 @@ class EllMatrix:
         return (np.asarray(data, np.float64) * x[cols]).sum(axis=1)
 
     def padded_matvec(self, x2d):
-        return panel_spmv(self.dev, x2d)
+        if self.dev_spill is None:
+            return panel_spmv(self.dev, x2d)
+        if self.panel_nnz == 0:
+            # pure-spill shape: don't pay a dispatch for an empty panel
+            return segmented_spmv(self.dev_spill, x2d)
+        yp = panel_spmv(self.dev, x2d)
+        ys = segmented_spmv(self.dev_spill, x2d)
+        # the two engines' padded y row counts may differ (independent
+        # window heights); rows past the true blocks are zero either way
+        import jax.numpy as jnp
+
+        n = max(yp.shape[0], ys.shape[0])
+        if yp.shape[0] < n:
+            yp = jnp.pad(yp, ((0, n - yp.shape[0]), (0, 0)))
+        if ys.shape[0] < n:
+            ys = jnp.pad(ys, ((0, n - ys.shape[0]), (0, 0)))
+        return yp + ys
 
     def matvec(self, x):
         x2d = x_to_table(x, self.ncols)

@@ -25,9 +25,12 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
-from spmv_tpu.device import DevPanel, x_to_table, y_from_padded
-from spmv_tpu.formats.base import DEFAULT_CHUNK, LANES, build_panel_plan, cdiv
-from spmv_tpu.kernels.engines import inverse_permute_blocks, panel_spmv
+from spmv_tpu.device import DevPanel, DevSeg, x_to_table, y_from_padded
+from spmv_tpu.formats.base import (DEFAULT_CHUNK, LANES, build_panel_plan,
+                                   build_seg_plan, cdiv)
+from spmv_tpu.formats.split import priced_split
+from spmv_tpu.kernels.engines import (inverse_permute_blocks, panel_spmv,
+                                      segmented_spmv)
 
 __all__ = ["SellMatrix", "DEFAULT_SIGMA", "sigma_sort_tables"]
 
@@ -52,7 +55,8 @@ def _panel_slots(rows, cols, nrows: int, ncols: int) -> int:
 
 
 def sigma_sort_tables(rows, cols, nrows: int, ncols: int,
-                      sigma: int = DEFAULT_SIGMA):
+                      sigma: int = DEFAULT_SIGMA, *,
+                      force_identity: bool = False):
     """The σ-sort decision + epilogue tables for a row space.
 
     Within each σ-row window rows stable-sort by descending length; the
@@ -79,7 +83,8 @@ def sigma_sort_tables(rows, cols, nrows: int, ncols: int,
     invperm = np.empty_like(perm)
     invperm[perm] = np.arange(nrows_pad, dtype=np.int64)
 
-    if rows.size and _panel_slots(invperm[rows], cols, nrows_pad, ncols) \
+    if (not force_identity) and rows.size \
+            and _panel_slots(invperm[rows], cols, nrows_pad, ncols) \
             < _panel_slots(rows, cols, nrows_pad, ncols):
         rows_sorted = invperm[rows]  # relabel rows into sorted space
         sorted_ = True
@@ -112,6 +117,12 @@ class SellMatrix:
     slice_widths: np.ndarray  # per-slice padded K (slices of C=128 rows)
     dev: DevPanel = field(repr=False)
     plan: object = field(repr=False, default=None)  # PanelPlan (host arrays)
+    # byte-priced spill part over the SORTED row space (None = pure panel;
+    # formats.split — round 4, the same lowering as ELL/HYB)
+    dev_spill: DevSeg | None = field(repr=False, default=None)
+    spill_plan: object = field(repr=False, default=None)  # SegPlan
+    panel_nnz: int = 0
+    spill_nnz: int = 0
     sorted_rows: bool = False  # did the adaptive σ-sort actually apply?
     # permutation metadata for the y epilogue
     _perm_whi: object = field(repr=False, default=None)  # jnp (NB,)
@@ -137,6 +148,7 @@ class SellMatrix:
         sigma: int = DEFAULT_SIGMA,
         chunk: int = DEFAULT_CHUNK,
         pack: int | None = None,
+        split: bool = True,
     ) -> "SellMatrix":
         import jax.numpy as jnp
 
@@ -150,9 +162,43 @@ class SellMatrix:
         rows_sorted, sorted_, perm, whi, idx, nrows_pad = sigma_sort_tables(
             rows, cols, nrows, ncols, sigma)
 
+        # Byte-priced panel/spill split over the SORTED row space (the σ
+        # relabeling is already applied, so the spill's segmented y' adds
+        # to the panel y' before the one unpermute epilogue).
+        dev_spill = spill_plan = None
+        keep_nnz, spill_nnz = rows.size, 0
+        if split and rows.size:
+            r, c, v, keep, _shape = priced_split(
+                np.asarray(rows_sorted, np.int64), np.asarray(cols, np.int64),
+                vals, nrows_pad, ncols)
+            if sorted_ and _shape == "spill":
+                # The adaptive σ decided from PANEL widths, but the priced
+                # split spills everything — a pure-spill execution ignores
+                # panel widths, and the sort would only scramble the
+                # segmented stream's locality and add the unpermute
+                # dispatch (measured 2× on the power-law suite).  Keep
+                # natural order.
+                rows_sorted, sorted_, perm, whi, idx, nrows_pad = \
+                    sigma_sort_tables(rows, cols, nrows, ncols, sigma,
+                                      force_identity=True)
+                r, c, v, keep, _shape = priced_split(
+                    np.asarray(rows_sorted, np.int64),
+                    np.asarray(cols, np.int64), vals, nrows_pad, ncols)
+            plan = build_panel_plan(r[keep], c[keep], v[keep], nrows_pad,
+                                    ncols, chunk=chunk, pack=pack)
+            if (~keep).any():
+                spill_plan = build_seg_plan(r[~keep], c[~keep], v[~keep],
+                                            nrows_pad, ncols, chunk=chunk)
+                dev_spill = DevSeg.from_plan(spill_plan)
+            keep_nnz, spill_nnz = int(keep.sum()), int((~keep).sum())
+        else:
+            plan = build_panel_plan(rows_sorted, cols, vals, nrows_pad, ncols,
+                                    chunk=chunk, pack=pack)
+
         # Per-slice (128-row block) padded width from sorted lengths —
-        # reported as the format's slice metadata; the device plan refines
-        # this to per-(slice, stripe) widths.
+        # reported as the format's slice metadata (the device plan refines
+        # this to per-(slice, stripe) widths).  Computed AFTER the split:
+        # a pure-spill route may have dropped the σ-sort (perm identity).
         lengths = (np.bincount(rows, minlength=nrows) if rows.size
                    else np.zeros(nrows, np.int64))
         lengths_pad = np.zeros(nrows_pad, dtype=np.int64)
@@ -161,13 +207,11 @@ class SellMatrix:
         slens = lengths_pad[perm].reshape(nblocks, LANES)
         slice_widths = slens.max(axis=1)
 
-        plan = build_panel_plan(rows_sorted, cols, vals, nrows_pad, ncols,
-                                chunk=chunk, pack=pack)
-
         return cls(
             nrows=nrows, ncols=ncols, nnz=rows.size, sigma=sigma,
             slice_widths=slice_widths, dev=DevPanel.from_plan(plan),
-            plan=plan, sorted_rows=sorted_,
+            plan=plan, dev_spill=dev_spill, spill_plan=spill_plan,
+            panel_nnz=keep_nnz, spill_nnz=spill_nnz, sorted_rows=sorted_,
             _perm_whi=jnp.asarray(whi), _perm_idx=jnp.asarray(idx),
             _rows_sorted=np.asarray(rows_sorted, np.int64),
             _cols=np.asarray(cols, np.int32), _vals=vals, _perm=perm,
@@ -261,7 +305,22 @@ class SellMatrix:
 
     def padded_matvec(self, x2d):
         d = self.dev
-        y_sorted = panel_spmv(d, x2d)  # (out_rows, 128), out_rows ≥ blocks
+        if self.dev_spill is not None and self.panel_nnz == 0:
+            # pure-spill shape: don't pay a dispatch for an empty panel
+            y_sorted = segmented_spmv(self.dev_spill, x2d)
+        else:
+            y_sorted = panel_spmv(d, x2d)  # (out_rows, 128)
+            if self.dev_spill is not None:
+                import jax.numpy as jnp
+
+                ys = segmented_spmv(self.dev_spill, x2d)
+                n = max(y_sorted.shape[0], ys.shape[0])
+                if y_sorted.shape[0] < n:
+                    y_sorted = jnp.pad(y_sorted,
+                                       ((0, n - y_sorted.shape[0]), (0, 0)))
+                if ys.shape[0] < n:
+                    ys = jnp.pad(ys, ((0, n - ys.shape[0]), (0, 0)))
+                y_sorted = y_sorted + ys
         if not self.sorted_rows:
             # Adaptive σ kept the natural order — the permutation is the
             # identity, so the unpermute epilogue would be a pure copy pass

@@ -19,7 +19,7 @@ from dataclasses import dataclass
 import numpy as np
 
 __all__ = ["golden_spmv", "check_result", "CheckReport", "default_x",
-           "EPSILON", "seg_engine_scale"]
+           "EPSILON", "seg_engine_scale", "container_scale"]
 
 # Reference absolute tolerance (helper_functions.h:11) — valid for its fp64
 # path.  Our TPU compute path is fp32 (BASELINE.md: "single precision"), so
@@ -145,6 +145,13 @@ def seg_engine_scale(plan, x: np.ndarray, row_abs: np.ndarray) -> np.ndarray:
     ``row_abs`` is the per-row Σ|v||x| (``golden_spmv`` of the absolute
     triplets).
     """
+    return (np.asarray(row_abs, dtype=np.float64)
+            + _seg_window_scale(plan, x))
+
+
+def _seg_window_scale(plan, x: np.ndarray) -> np.ndarray:
+    """Per-row max sublane-window Σ|v·x| of a ``SegPlan`` (length
+    ``plan.nrows``) — the window-magnitude half of ``seg_engine_scale``."""
     absx = np.abs(np.asarray(x, dtype=np.float64)).reshape(-1)
     tm = plan.vals.shape[0]
     base = plan.sub_base[np.arange(tm) // 8].astype(np.int64)
@@ -169,4 +176,33 @@ def seg_engine_scale(plan, x: np.ndarray, row_abs: np.ndarray) -> np.ndarray:
     win_scale = np.zeros(plan.nrows, dtype=np.float64)
     valid = rowid < plan.nrows
     np.maximum.at(win_scale, rowid[valid], w_mag[srow[valid]])
-    return np.asarray(row_abs, dtype=np.float64) + win_scale
+    return win_scale
+
+
+def container_scale(a, x: np.ndarray, row_abs: np.ndarray) -> np.ndarray:
+    """Tolerance scale for a format container's device execution:
+    ``row_abs`` plus the segmented engine's window magnitudes for every
+    ``SegPlan`` the container actually runs — the main plan for
+    CSR/COO/CMRS, the spill part of the priced panel/spill split for
+    HYB/ELL/SELL (``formats.split``).  SELL's plans live in the σ-sorted
+    (padded) row space; their window scale maps back through ``perm``."""
+    row_abs = np.asarray(row_abs, dtype=np.float64)
+    out = row_abs.copy()
+    nrows = out.size
+    plans = []
+    p = getattr(a, "plan", None)
+    if p is not None and hasattr(p, "gidx"):
+        plans.append(p)
+    sp = getattr(a, "spill_plan", None)
+    if sp is not None:
+        plans.append(sp)
+    perm = getattr(a, "perm", None)  # SELL: sorted position → original row
+    for p in plans:
+        w = _seg_window_scale(p, x)
+        if perm is not None and p.nrows == np.asarray(perm).size:
+            w_orig = np.zeros(w.size, dtype=np.float64)
+            w_orig[np.asarray(perm, dtype=np.int64)] = w
+            w = w_orig
+        out += w[:nrows] if w.size >= nrows else np.pad(
+            w, (0, nrows - w.size))
+    return out

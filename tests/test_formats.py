@@ -23,16 +23,14 @@ def run_format(fmt, info, r, c, v, x=None):
     expected = golden_spmv(info.nrows, r, c, v, x.astype(np.float32))
     scale = golden_spmv(info.nrows, r, c, np.abs(v), np.abs(x.astype(np.float32)))
     # Mirror the production validator (cli._validate): segmented-engine
-    # formats bound by the sublane-window magnitude — the engine's
+    # plans bound by the sublane-window magnitude — the engine's
     # documented rounding model (oracle.seg_engine_scale), needed since
     # dense packing mixes rows of different magnitude into shared windows.
-    from spmv_tpu.oracle import seg_engine_scale
+    # container_scale walks every SegPlan the container runs (main plan
+    # or the priced spill part of hyb/ell/sell).
+    from spmv_tpu.oracle import container_scale
 
-    plan = getattr(a, "plan", None)
-    if plan is not None and not hasattr(plan, "gidx"):
-        plan = getattr(a, "spill_plan", None)  # HYB's segmented part
-    if plan is not None and hasattr(plan, "gidx"):
-        scale = seg_engine_scale(plan, x.astype(np.float32), scale)
+    scale = container_scale(a, x.astype(np.float32), scale)
     lengths = np.bincount(r, minlength=info.nrows) if r.size else np.zeros(1)
     rep = check_result(
         expected, y, tol_abs=1e-5, scale=scale,
@@ -262,17 +260,52 @@ def test_sell_format_arrays_roundtrip_and_cpu():
 
 def test_sell_wins_on_banded_power_law():
     """The matrix class where the σ-sort earns its place (round-1 verdict
-    item 3): scale-free row lengths + column locality.  SELL must sort,
-    stream strictly fewer bytes than ELL, and stay correct."""
+    item 3): scale-free row lengths + column locality.  In the pure-panel
+    execution SELL must sort, stream strictly fewer bytes than ELL, and
+    stay correct."""
     info, r, c, v = synth.power_law(n=4096, avg_nnz_per_row=16,
                                     bandwidth=256, seed=2)
-    ell = spmv_tpu.EllMatrix.from_coo(info.nrows, info.ncols, r, c, v)
-    sell = spmv_tpu.SellMatrix.from_coo(info.nrows, info.ncols, r, c, v)
+    ell = spmv_tpu.EllMatrix.from_coo(info.nrows, info.ncols, r, c, v,
+                                      split=False)
+    sell = spmv_tpu.SellMatrix.from_coo(info.nrows, info.ncols, r, c, v,
+                                        split=False)
     assert sell.sorted_rows
     assert (sell.plan.stream_bytes + sell.epilogue_bytes
             < 0.75 * ell.plan.stream_bytes)
     run_format("sell", info, r, c, v)
     run_format("ell", info, r, c, v)
+
+
+def test_panel_formats_auto_split_on_hostile_classes():
+    """Round-4 lowering (formats.split): on panel-hostile matrices the
+    ELL/SELL device plans route the mini-panel tails into the segmented
+    stream, so their streamed bytes can never exceed the panel/segmented
+    break-even — the round-3 verdict's 2.39× padding gap.  The classical
+    format surface (K, stats, arrays) must be untouched by the routing."""
+    from spmv_tpu.bench.runner import traffic_model
+
+    info, r, c, v = synth.power_law(n=4096, avg_nnz_per_row=16,
+                                    bandwidth=256, seed=2)
+    ell = spmv_tpu.EllMatrix.from_coo(info.nrows, info.ncols, r, c, v)
+    pure = spmv_tpu.EllMatrix.from_coo(info.nrows, info.ncols, r, c, v,
+                                       split=False)
+    assert ell.panel_nnz + ell.spill_nnz == ell.nnz
+    assert ell.spill_nnz > 0  # this class must not stay pure panel
+    assert traffic_model(ell)[1] < traffic_model(pure)[1]
+    # format semantics identical either way
+    assert ell.K == pure.K and ell.row_length_stats == pure.row_length_stats
+    da, ca = ell.ell_arrays()
+    db, cb = pure.ell_arrays()
+    np.testing.assert_array_equal(da, db)
+    np.testing.assert_array_equal(ca, cb)
+
+    sell = spmv_tpu.SellMatrix.from_coo(info.nrows, info.ncols, r, c, v)
+    assert sell.panel_nnz + sell.spill_nnz == sell.nnz
+    sp, d_, c_ = sell.sell_arrays()
+    sp2, d2, c2 = spmv_tpu.SellMatrix.from_coo(
+        info.nrows, info.ncols, r, c, v, split=False).sell_arrays()
+    np.testing.assert_array_equal(sp, sp2)
+    np.testing.assert_array_equal(d_, d2)
 
 
 def test_hyb_shape_choice_depends_on_matrix_class():
@@ -318,7 +351,10 @@ def test_fused_and_partials_paths_agree(fmt):
                                           segmented_spmv_partials)
 
     info, r, c, v = synth.random_coo(700, 500, 6000, seed=21)
-    a = spmv_tpu.from_coo(fmt, info.nrows, info.ncols, r, c, v)
+    # split=False: this test drives the PANEL engine variants directly on
+    # a.dev, so ELL must keep everything in the pure panel plan
+    kw = {} if fmt == "csr" else {"split": False}
+    a = spmv_tpu.from_coo(fmt, info.nrows, info.ncols, r, c, v, **kw)
     assert a.dev.fused  # test matrices are far below the threshold
     x = np.random.default_rng(7).standard_normal(info.ncols).astype(np.float32)
     from spmv_tpu.device import x_to_table
