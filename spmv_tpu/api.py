@@ -67,17 +67,14 @@ def spmv(a, x):
 
 
 def _multi_rhs_fits(dev, R: int) -> bool:
-    """VMEM feasibility of the fused multi-RHS kernels for this plan:
-    R stacked x tables resident in the main kernel, R·out_rows y rows
-    resident in the scatter epilogue, double-buffered (ns·R·W, 128)
-    partials blocks in the grid pipeline."""
-    from spmv_tpu.device import x_table_rows
-    from spmv_tpu.formats.base import LANES
+    """VMEM feasibility of the fused multi-RHS kernels for this plan —
+    the joint per-kernel budget of ``device.multi_rhs_fits``."""
+    from spmv_tpu.device import multi_rhs_fits, x_table_rows
 
-    xtab = R * x_table_rows(dev.ncols) * LANES * 4
-    ybytes = R * dev.out_rows * LANES * 4
-    pblock = 2 * dev.ns * R * dev.w_rows * LANES * 4
-    return xtab <= 10 * 2**20 and ybytes <= 10 * 2**20 and pblock <= 4 * 2**20
+    return multi_rhs_fits(
+        R, x_table_rows(dev.ncols),
+        [(dev.chunk, dev.ns, dev.pack, hasattr(dev, "gidx"), dev.w_rows,
+          dev.out_rows)])
 
 
 def _spmm_fused(a, X, R: int):

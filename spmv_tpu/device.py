@@ -262,6 +262,59 @@ def split_vals_planes(vals: np.ndarray, chunk: int, ns: int,
     return out
 
 
+def multi_rhs_fits(R: int, x_rows: int, parts) -> bool:
+    """JOINT VMEM budget of the fused multi-RHS kernels (round-3 advisor:
+    three independent caps let an envelope-edge matrix pass yet exceed
+    scoped VMEM at compile time instead of falling back to the column
+    loop).  ``parts`` is an iterable of ``(chunk, ns, pack, seg, w_rows,
+    out_rows)`` — one entry per engine pass (two for a split container).
+
+    * main kernel: R resident x tables + double-buffered per-step stream
+      blocks + the double-buffered (ns·R·W, 128) partials output block;
+    * scatter epilogue: R·out_rows resident y + the partials block.
+    """
+    xtab = R * x_rows * LANES * 4
+    for chunk, ns, pack, seg, w_rows, out_rows in parts:
+        bpq = (5 * pack + 2) if seg else (5 * pack + 1)
+        blocks = 2 * chunk * ns * LANES * bpq  # double-buffered streams
+        pblock = 2 * ns * R * w_rows * LANES * 4
+        if xtab + blocks + pblock > _VMEM_LIMIT:
+            return False
+        if R * out_rows * LANES * 4 + pblock > _VMEM_LIMIT:
+            return False
+    return True
+
+
+def _fused_predicate(dev) -> bool:
+    """Shared DevPanel/DevSeg fused-dispatch predicate: short streams take
+    the single-dispatch fused-RMW kernel variant (static at trace time —
+    derived from array shapes, part of the jit cache key).  Unlike the
+    streamed-partials pair (x table resident in the main kernel, y only
+    in the epilogue), the fused kernel holds BOTH — so x+y must fit the
+    resident-vector budget together with the double-buffered step."""
+    if dev.stream_bytes > FUSED_STREAM_BYTES_MAX:
+        return False
+    vec = _x_table_bytes(dev.ncols) + 4 * dev.out_rows * LANES
+    nsteps = max(dev.vals[0].shape[0] * dev.kva
+                 // (dev.chunk * dev.ns), 1)
+    blocks = 2 * dev.stream_bytes // nsteps  # double-buffered step
+    return vec + blocks <= _VMEM_LIMIT
+
+
+def _aux_traffic_bytes(dev) -> int:
+    """Shared DevPanel/DevSeg epilogue traffic: the (nsc·W,128) window
+    partials write out of the main kernel and read back into the
+    scatter-add, plus the y write (DESIGN.md fact 9).  The fused
+    small-stream path skips the partials round-trip; the x2 engines
+    always RMW in-kernel and write (yh, yl)."""
+    if dev.vals_lo:
+        return 2 * dev.out_rows * LANES * 4
+    if dev.fused:
+        return dev.out_rows * LANES * 4
+    nsc = (dev.vals[0].shape[0] * dev.kva) // dev.chunk
+    return (2 * nsc * dev.w_rows + dev.out_rows) * LANES * 4
+
+
 @dataclass(frozen=True)
 class DevPanel:
     vals: tuple  # P·kva × (TM/kva, 128) f32, plane-major
@@ -333,33 +386,13 @@ class DevPanel:
 
     @property
     def fused(self) -> bool:
-        """True = the engines take the single-dispatch fused-RMW variant
-        (short streams; static at trace time — derived from array
-        shapes, which are part of the jit cache key).  Unlike the
-        streamed-partials pair (x table resident in the main kernel, y
-        only in the epilogue), the fused kernel holds BOTH — so x+y must
-        fit the resident-vector budget together."""
-        if self.stream_bytes > FUSED_STREAM_BYTES_MAX:
-            return False
-        vec = _x_table_bytes(self.ncols) + 4 * self.out_rows * LANES
-        nsteps = max(self.vals[0].shape[0] * self.kva
-                     // (self.chunk * self.ns), 1)
-        blocks = 2 * self.stream_bytes // nsteps  # double-buffered step
-        return vec + blocks <= _VMEM_LIMIT
+        """See ``_fused_predicate``."""
+        return _fused_predicate(self)
 
     @property
     def aux_traffic_bytes(self) -> int:
-        """Streamed-partials epilogue traffic: the (nsc·W,128) window
-        partials write out of the main kernel and read back into the
-        scatter-add, plus the y write (DESIGN.md fact 9).  The fused
-        small-stream path skips the partials round-trip; the x2 engines
-        always RMW in-kernel and write (yh, yl)."""
-        if self.vals_lo:
-            return 2 * self.out_rows * LANES * 4
-        if self.fused:
-            return self.out_rows * LANES * 4
-        nsc = (self.vals[0].shape[0] * self.kva) // self.chunk
-        return (2 * nsc * self.w_rows + self.out_rows) * LANES * 4
+        """See ``_aux_traffic_bytes``."""
+        return _aux_traffic_bytes(self)
 
 
 @dataclass(frozen=True)
@@ -433,26 +466,13 @@ class DevSeg:
 
     @property
     def fused(self) -> bool:
-        """See DevPanel.fused."""
-        if self.stream_bytes > FUSED_STREAM_BYTES_MAX:
-            return False
-        vec = _x_table_bytes(self.ncols) + 4 * self.out_rows * LANES
-        nsteps = max(self.vals[0].shape[0] * self.kva
-                     // (self.chunk * self.ns), 1)
-        blocks = 2 * self.stream_bytes // nsteps  # double-buffered step
-        return vec + blocks <= _VMEM_LIMIT
+        """See ``_fused_predicate``."""
+        return _fused_predicate(self)
 
     @property
     def aux_traffic_bytes(self) -> int:
-        """Streamed-partials epilogue traffic (see DevPanel); the fused
-        small-stream path skips the partials round-trip; x2 engines RMW
-        in-kernel and write (yh, yl)."""
-        if self.vals_lo:
-            return 2 * self.out_rows * LANES * 4
-        if self.fused:
-            return self.out_rows * LANES * 4
-        nsc = (self.vals[0].shape[0] * self.kva) // self.chunk
-        return (2 * nsc * self.w_rows + self.out_rows) * LANES * 4
+        """See ``_aux_traffic_bytes``."""
+        return _aux_traffic_bytes(self)
 
 
 def _register(cls, statics):

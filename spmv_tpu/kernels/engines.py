@@ -139,15 +139,14 @@ def _window_partial(op_ref, pieces, meta_ref, k: int, ns: int,
     blocked round_up(ns,8) rows per grid step (sub-chunk k at block row
     k) so the row index is STATIC — Mosaic rejects dynamic sublane
     offsets it cannot prove 8-aligned."""
-    wv = meta_ref[k : k + 1, 0:chunk].astype(jnp.int32)  # (1,chunk)
-    tt = jax.lax.broadcasted_iota(jnp.int32, (W, chunk), 0)
-    Rw = (jnp.broadcast_to(wv, (W, chunk)) == tt).astype(jnp.bfloat16)
+    Rw = _window_rw(meta_ref, k, chunk, W)
     op_ref[k * W : (k + 1) * W, :] = _split_rowsum(Rw, pieces)
 
 
 def _window_rw(meta_ref, k: int, chunk: int, W: int):
     """The compare-built 0/1 window-reduction matrix for sub-chunk k —
-    shared across the R right-hand sides of the multi-RHS kernels."""
+    shared by the partials/fused single-RHS reductions and across the R
+    right-hand sides of the multi-RHS kernels."""
     wv = meta_ref[k : k + 1, 0:chunk].astype(jnp.int32)  # (1,chunk)
     tt = jax.lax.broadcasted_iota(jnp.int32, (W, chunk), 0)
     return (jnp.broadcast_to(wv, (W, chunk)) == tt).astype(jnp.bfloat16)
@@ -163,9 +162,7 @@ def _window_accumulate(o_ref, pieces, meta_ref, base_ref, k: int, ns: int,
     but on SMALL streams the second dispatch's fixed ramp costs more than
     the serialization, so ``segmented_spmv``/``panel_spmv`` auto-pick this
     path below ``FUSED_STREAM_BYTES_MAX`` (scripts/probe_small.py)."""
-    wv = meta_ref[k : k + 1, 0:chunk].astype(jnp.int32)  # (1,chunk)
-    tt = jax.lax.broadcasted_iota(jnp.int32, (W, chunk), 0)
-    Rw = (jnp.broadcast_to(wv, (W, chunk)) == tt).astype(jnp.bfloat16)
+    Rw = _window_rw(meta_ref, k, chunk, W)
     parts = _split_rowsum(Rw, pieces)  # (W, 128)
     base = base_ref[pl.program_id(0) * ns + k]
     o_ref[pl.ds(base, W), :] += parts
