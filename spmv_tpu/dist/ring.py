@@ -43,7 +43,8 @@ class RingShardedSpmv:
         if format == "bsr":
             raise NotImplementedError(
                 "ring-sharded BSR not supported (block-dense container); "
-                "use csr/coo/cmrs/ell/sell/hyb")
+                "use RowShardedSpmv('bsr', ...) or csr/coo/cmrs/ell/sell/"
+                "hyb")
         self.is_sell = format in ("sell", "sell_c_sigma")
         self.is_hyb = format == "hyb"
         cls = FORMATS[format]
@@ -97,6 +98,9 @@ class RingShardedSpmv:
             cls = FORMATS["ell"]  # sub-plans: plain panels on sorted rows
             fmt_kwargs.pop("pack", None)
             fmt_kwargs["pack"] = panel_pack_for(rows, cols, nrows, ncols)
+        if format in ("ell", "sell", "sell_c_sigma"):
+            # ring sub-plans build pure panels (one engine pass per step)
+            fmt_kwargs = dict(fmt_kwargs, split=False)
         # D×D sub-plans: (row slab d) × (column block j), unified together
         # so one stacked array set serves every (d, j).
         shards = []
@@ -226,15 +230,16 @@ class RingShardedSpmv:
         return self.st.ncols
 
     def _multi_fits(self, rhs: int) -> bool:
-        """Per-shard VMEM envelope of the fused multi-RHS ring: R
-        stacked LOCAL x tables ride the ring as one carry."""
-        xtab = rhs * self.S_local * LANES * 4
-        for st in filter(None, (self.st, self.st_spill)):
-            if (xtab > 10 * 2**20
-                    or rhs * st.out_rows * LANES * 4 > 10 * 2**20
-                    or 2 * st.ns * rhs * st.w_rows * LANES * 4 > 4 * 2**20):
-                return False
-        return True
+        """Per-shard VMEM envelope of the fused multi-RHS ring (R stacked
+        LOCAL x tables ride the ring as one carry) — the
+        joint per-kernel budget of ``device.multi_rhs_fits``, covering
+        both parts of a split plan."""
+        from spmv_tpu.device import multi_rhs_fits
+
+        parts = [(st.chunk, st.ns, st.pack, st.is_seg, st.w_rows,
+                  st.out_rows)
+                 for st in filter(None, (self.st, self.st_spill))]
+        return multi_rhs_fits(rhs, self.S_local, parts)
 
     def _build_multi(self, rhs: int):
         """Fused multi-RHS ring: each step multiplies the held x block of

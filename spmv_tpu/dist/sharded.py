@@ -58,8 +58,12 @@ from spmv_tpu.kernels.engines import (
 __all__ = ["RowShardedSpmv", "ColShardedSpmv"]
 
 _PANEL_FORMATS = {"ell", "sell", "sell_c_sigma"}
-# BSR's plan-less block-dense container cannot ride the stream unifier; it
-# stays single-chip (use spmm there).  HYB row-shards as a two-part plan.
+# BSR's plan-less block-dense container doesn't ride the stream unifier:
+# RowShardedSpmv gives it its own dense-tile path (block rows shard
+# trivially; X replicated or all-gathered, one batched MXU matmul per
+# shard).  Column/ring partitions of BSR stay unsupported — the dense Y
+# psum would move R·nrows floats per step for a format whose point is
+# avoiding per-element traffic.
 _UNSUPPORTED = {"bsr"}
 
 
@@ -246,10 +250,13 @@ class RowShardedSpmv:
 
         format = format.lower()
         self.x2 = _x2_mode(dtype)
-        if format in _UNSUPPORTED:
-            raise NotImplementedError(
-                "sharded BSR not supported (block-dense container); "
-                "shard csr/coo/cmrs/ell/sell/hyb instead")
+        self._bsr = format == "bsr"
+        if self._bsr:
+            if self.x2:
+                raise NotImplementedError("f32x2 BSR is not supported")
+            self._init_bsr(nrows, ncols, rows, cols, vals, mesh,
+                           gather_x=gather_x, **fmt_kwargs)
+            return
         if self.x2 and format == "hyb":
             raise NotImplementedError(
                 "f32x2 covers the five reference formats "
@@ -283,6 +290,10 @@ class RowShardedSpmv:
             fmt_kwargs.setdefault("panel_pack",
                                   panel_pack_for(rows, cols, nrows, ncols))
 
+        if format in _PANEL_FORMATS:
+            # shards build pure panels: one engine pass per collective (the
+            # priced panel/spill split stays a single-chip lowering)
+            fmt_kwargs = dict(fmt_kwargs, split=False)
         rps = round_up(max(cdiv(nrows, D), LANES), LANES)
         rps_pad = rps  # SELL σ-pads each shard's plan rows below
         if self.x2:
@@ -453,9 +464,126 @@ class RowShardedSpmv:
         )
         return jax.jit(fn)
 
+    def _init_bsr(self, nrows, ncols, rows, cols, vals, mesh, *,
+                  gather_x: bool = True, **fmt_kwargs):
+        """Row-sharded BSR SpMM: block rows shard trivially — each device
+        owns its row slab's dense 128×128 tiles (padded to a common tile
+        count with inert all-zero tiles, which segment-sum harmlessly
+        into block 0); Y = A @ X is one batched MXU matmul + block-row
+        segment-sum per shard, with X replicated (``gather_x=False``) or
+        row-sharded and all-gathered over ICI.  This scales the R ≳ 32
+        regime where BSR owns the multi-RHS path (DESIGN.md) over the
+        mesh — round-3 verdict item 8."""
+        from spmv_tpu.formats.bsr import BSRMatrix
+
+        self.format = "bsr"
+        self.is_sell = self.is_hyb = False
+        self.is_seg = False
+        self.mesh = mesh
+        self.axis = mesh.axis_names[0]
+        D = mesh.shape[self.axis]
+        rows = np.asarray(rows, dtype=np.int64)
+        cols = np.asarray(cols, dtype=np.int64)
+        vals = np.asarray(vals)
+        rps = round_up(max(cdiv(nrows, D), LANES), LANES)
+        shards = []
+        for d in range(D):
+            lo, hi = d * rps, (d + 1) * rps
+            sel = (rows >= lo) & (rows < hi)
+            shards.append(BSRMatrix.from_coo(
+                rps, ncols, rows[sel] - lo, cols[sel], vals[sel],
+                **fmt_kwargs))
+        self._bsr_precision = shards[0].precision
+        T = max(int(s.tiles.shape[0]) for s in shards)
+        tiles = np.zeros((D, T, LANES, LANES), np.float32)
+        tblk = np.zeros((D, T), np.int32)
+        tstp = np.zeros((D, T), np.int32)
+        for d, s in enumerate(shards):
+            t = int(s.tiles.shape[0])
+            tiles[d, :t] = np.asarray(s.tiles)
+            tblk[d, :t] = np.asarray(s.tile_blk)
+            tstp[d, :t] = np.asarray(s.tile_stp)
+        self.fill = float(D * T * LANES * LANES / max(rows.size, 1))
+        self.st = _ShardStatics(
+            chunk=0, ns=0, is_seg=False, is_row=True, nrows=nrows,
+            ncols=ncols, rows_per_shard=rps, n_shards=D)
+        self.st_spill = None
+        self.gather_x = gather_x
+        # X rows padded so the shard axis divides evenly when sharded
+        self._cpad = round_up(max(ncols, LANES), D * LANES)
+        sharded = NamedSharding(mesh, P(self.axis))
+        self.arrays = {"tiles": put_sharded(tiles, sharded),
+                       "tile_blk": put_sharded(tblk, sharded),
+                       "tile_stp": put_sharded(tstp, sharded)}
+        self._bsr_fns: dict = {}
+
+    def _build_bsr(self, R: int):
+        from spmv_tpu.formats.bsr import _bsr_matmat
+
+        st, axis, mesh = self.st, self.axis, self.mesh
+        gather_x = self.gather_x
+        rps = st.rows_per_shard
+        ns2 = self._cpad // LANES
+        precision = self._bsr_precision
+
+        def shard_fn(X_local, tiles, tblk, tstp):
+            X = (jax.lax.all_gather(X_local, axis, axis=0, tiled=True)
+                 if gather_x else X_local)
+            return _bsr_matmat(tiles[0], tblk[0], tstp[0], X,
+                               nb=rps // LANES, ns=ns2, nrows=rps,
+                               precision=precision)
+
+        xspec = P(axis, None) if gather_x else P()
+        return jax.jit(shard_map(
+            shard_fn, mesh=mesh,
+            in_specs=(xspec, P(self.axis), P(self.axis), P(self.axis)),
+            out_specs=P(axis, None),
+            check_vma=False,
+        ))
+
+    def _bsr_spmm(self, X):
+        Xa = np.asarray(X, np.float32)
+        if Xa.ndim != 2 or Xa.shape[0] != self.st.ncols:
+            raise ValueError(f"X must be ({self.st.ncols}, R), got "
+                             f"{Xa.shape}")
+        R = Xa.shape[1]
+        fn = self._bsr_fns.get(R)
+        if fn is None:
+            fn = self._bsr_fns[R] = self._build_bsr(R)
+        Xp = np.zeros((self._cpad, R), np.float32)
+        Xp[: Xa.shape[0]] = Xa
+        xs = jnp.asarray(Xp)
+        if self.gather_x:
+            xs = put_sharded(xs, NamedSharding(self.mesh, P(self.axis,
+                                                            None)))
+        Y = fn(xs, *self.arrays.values())  # (D·rps, R), rows sharded
+        return Y[: self.st.nrows]
+
+    def _matvec_traced(self, v, arrays):
+        """Traceable matvec for composing into larger jitted programs
+        (``spmv_tpu.solve``): the sharded plan arrays arrive as jit
+        ARGUMENTS (a closure would embed them as compile-payload
+        constants, DESIGN.md fact 6); x is resharded via a sharding
+        constraint and the whole caller — e.g. a Krylov loop — compiles
+        as ONE SPMD program over the mesh."""
+        if self.x2 or self._bsr:
+            raise NotImplementedError(
+                "traced composition covers the f32 plan-based shardings")
+        xf = jnp.asarray(v, jnp.float32).reshape(-1)
+        xf = jnp.pad(xf, (0, self.S * LANES - xf.shape[0]))
+        x2d = xf.reshape(self.S, LANES)
+        if self.gather_x:
+            x2d = jax.lax.with_sharding_constraint(
+                x2d, NamedSharding(self.mesh, P(self.axis, None)))
+        y = self._fn(x2d, *arrays)
+        return y.reshape(-1)[: self.st.nrows]
+
     def matvec(self, x):
         if self.x2:
             return self._matvec_x2(x)
+        if self._bsr:
+            return self._bsr_spmm(
+                np.asarray(x, np.float32).reshape(-1, 1))[:, 0]
         xf = jnp.asarray(x, jnp.float32).reshape(-1)
         if xf.shape[0] != self.st.ncols:
             raise ValueError(
@@ -505,16 +633,15 @@ class RowShardedSpmv:
         return self.st.ncols
 
     def _multi_fits(self, rhs: int) -> bool:
-        """Per-shard VMEM envelope of the fused multi-RHS kernels (see
-        ``api._multi_rhs_fits``): R stacked x tables + R·out_rows y rows
-        + double-buffered (ns·R·W,128) partials blocks."""
-        xtab = rhs * self.S * LANES * 4
-        for st in filter(None, (self.st, self.st_spill)):
-            if (xtab > 10 * 2**20
-                    or rhs * st.out_rows * LANES * 4 > 10 * 2**20
-                    or 2 * st.ns * rhs * st.w_rows * LANES * 4 > 4 * 2**20):
-                return False
-        return True
+        """Per-shard VMEM envelope of the fused multi-RHS kernels — the
+        joint per-kernel budget of ``device.multi_rhs_fits``, covering
+        both parts of a split plan."""
+        from spmv_tpu.device import multi_rhs_fits
+
+        parts = [(st.chunk, st.ns, st.pack, st.is_seg, st.w_rows,
+                  st.out_rows)
+                 for st in filter(None, (self.st, self.st_spill))]
+        return multi_rhs_fits(rhs, self.S, parts)
 
     def _build_multi(self, rhs: int):
         """shard_map'd fused multi-RHS pass: ONE plan stream + ONE x
@@ -583,6 +710,8 @@ class RowShardedSpmv:
         from spmv_tpu.api import spmm as _spmm
         from spmv_tpu.kernels.engines import MULTI_RHS_MAX
 
+        if self._bsr:
+            return self._bsr_spmm(X)
         Xa = np.asarray(X)
         R = Xa.shape[1] if Xa.ndim == 2 else 0
         if (self.x2 or R < 2 or R > MULTI_RHS_MAX
@@ -627,8 +756,9 @@ class ColShardedSpmv:
         self.x2 = _x2_mode(dtype)
         if format in _UNSUPPORTED:
             raise NotImplementedError(
-                "column-sharded BSR not supported (block-dense container); "
-                "shard csr/coo/cmrs/ell/sell/hyb instead")
+                "column-sharded BSR not supported (a dense-Y psum per "
+                "step defeats the block-dense format); use RowShardedSpmv"
+                "('bsr', ...) or shard csr/coo/cmrs/ell/sell/hyb")
         if self.x2 and format == "hyb":
             raise NotImplementedError(
                 "f32x2 covers the five reference formats "
@@ -679,6 +809,9 @@ class ColShardedSpmv:
             cls = FORMATS["ell"]  # shards: plain panels over sorted rows
             fmt_kwargs.pop("pack", None)
             fmt_kwargs["pack"] = panel_pack_for(rows, cols, y_rows, ncols)
+        if self.is_sell or format in _PANEL_FORMATS:
+            # column shards build pure panels (one engine pass per psum)
+            fmt_kwargs = dict(fmt_kwargs, split=False)
         cps = round_up(max(cdiv(ncols, D), LANES), LANES)
         if self.x2:
             fmt = "ell" if self.is_sell else format  # sort already applied
@@ -810,6 +943,25 @@ class ColShardedSpmv:
         )
         return jax.jit(fn)
 
+    def _matvec_traced(self, v, arrays):
+        """Traceable matvec (see ``RowShardedSpmv._matvec_traced``); the
+        SELL unpermute epilogue runs on the replicated psum'd y."""
+        if self.x2:
+            raise NotImplementedError(
+                "traced composition covers the f32 plan-based shardings")
+        D = self.st.n_shards
+        xf = jnp.asarray(v, jnp.float32).reshape(-1)
+        xf = jnp.pad(xf, (0, D * self.cps - xf.shape[0]))
+        xs = jax.lax.with_sharding_constraint(
+            xf.reshape(D, self.cps),
+            NamedSharding(self.mesh, P(self.axis, None)))
+        y = self._fn(xs, *arrays)
+        if self._perm_whi is not None:
+            if y.shape[0] < 8:  # epilogue windows always slice 8 rows
+                y = jnp.pad(y, ((0, 8 - y.shape[0]), (0, 0)))
+            y = inverse_permute_blocks(self._perm_whi, self._perm_idx, y)
+        return y.reshape(-1)[: self.true_nrows]
+
     def matvec(self, x):
         if self.x2:
             return self._matvec_x2(x)
@@ -873,15 +1025,15 @@ class ColShardedSpmv:
         return self.st.ncols
 
     def _multi_fits(self, rhs: int) -> bool:
-        """Per-shard VMEM envelope of the fused multi-RHS kernels (R
-        stacked LOCAL x tables + R·out_rows y + partials blocks)."""
-        xtab = rhs * self.S_local * LANES * 4
-        for st in filter(None, (self.st, self.st_spill)):
-            if (xtab > 10 * 2**20
-                    or rhs * st.out_rows * LANES * 4 > 10 * 2**20
-                    or 2 * st.ns * rhs * st.w_rows * LANES * 4 > 4 * 2**20):
-                return False
-        return True
+        """Per-shard VMEM envelope of the fused multi-RHS kernels — the
+        joint per-kernel budget of ``device.multi_rhs_fits``, covering
+        both parts of a split plan."""
+        from spmv_tpu.device import multi_rhs_fits
+
+        parts = [(st.chunk, st.ns, st.pack, st.is_seg, st.w_rows,
+                  st.out_rows)
+                 for st in filter(None, (self.st, self.st_spill))]
+        return multi_rhs_fits(rhs, self.S_local, parts)
 
     def _build_multi(self, rhs: int):
         """shard_map'd fused multi-RHS pass: one plan-stream pass per

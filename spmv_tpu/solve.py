@@ -5,10 +5,17 @@ layer the reference lacks entirely (its drivers run one SpMV and exit,
 Everything here composes the formats' jit-composable ``padded_matvec``
 into single fused XLA programs: the whole Krylov loop runs on-device with
 one dispatch, the SpMV kernel pipelining intact.
+
+Round 4: the same solvers compose with the distributed containers
+(``dist.RowShardedSpmv`` / ``ColShardedSpmv``) through their
+``_matvec_traced`` hook — the whole Krylov loop then compiles as ONE SPMD
+program over the mesh (matvec collectives + GSPMD-partitioned dot
+products), the production-use layer the reference lacks entirely.
 """
 
 from __future__ import annotations
 
+import copy
 from functools import partial
 
 import jax
@@ -19,10 +26,34 @@ from spmv_tpu.device import x_to_table, y_from_padded
 __all__ = ["bicgstab", "cg", "power_iteration"]
 
 
-def _matvec(a):
-    def mv(v):
-        return y_from_padded(a.padded_matvec(x_to_table(v, a.ncols)), a.nrows)
-    return mv
+def _operator(a):
+    """``(build, leaves)``: ``build(*leaves)`` yields a traceable
+    ``v -> y`` closure with the container's device arrays bound as jit
+    ARGUMENTS — a closure over them would embed the plan as
+    compile-payload constants, which the tunnel rejects above ~100 MB
+    (DESIGN.md fact 6).  Dist containers route through their
+    ``_matvec_traced`` hook; single-chip containers through
+    ``padded_matvec``."""
+    if hasattr(a, "_matvec_traced"):  # Row/ColShardedSpmv
+        leaves = tuple(a.arrays.values())
+
+        def build(*lv):
+            return lambda v: a._matvec_traced(v, lv)
+
+        return build, leaves
+
+    leaf_attrs = [n for n in ("dev", "dev_spill", "_perm_whi", "_perm_idx")
+                  if getattr(a, n, None) is not None]
+    leaves = tuple(getattr(a, n) for n in leaf_attrs)
+
+    def build(*lv):
+        b = copy.copy(a)
+        for n, v in zip(leaf_attrs, lv):
+            object.__setattr__(b, n, v)
+        return lambda v: y_from_padded(
+            b.padded_matvec(x_to_table(v, a.ncols)), a.nrows)
+
+    return build, leaves
 
 
 def cg(a, b, *, tol: float = 1e-5, maxiter: int = 1000, x0=None):
@@ -33,14 +64,15 @@ def cg(a, b, *, tol: float = 1e-5, maxiter: int = 1000, x0=None):
     """
     if a.nrows != a.ncols:
         raise ValueError("cg requires a square matrix")
-    mv = _matvec(a)
+    build, leaves = _operator(a)
     b = jnp.asarray(b, jnp.float32).reshape(-1)
     if b.shape[0] != a.nrows:
         raise ValueError(f"b has {b.shape[0]} entries, matrix is {a.nrows}")
     x0 = jnp.zeros_like(b) if x0 is None else jnp.asarray(x0, jnp.float32)
 
     @jax.jit
-    def run(b, x0):
+    def run(b, x0, *lv):
+        mv = build(*lv)
         r0 = b - mv(x0)
         state = (x0, r0, r0, jnp.vdot(r0, r0), jnp.int32(0))
         tol2 = jnp.float32(tol) ** 2 * jnp.maximum(jnp.vdot(b, b), 1e-30)
@@ -62,7 +94,7 @@ def cg(a, b, *, tol: float = 1e-5, maxiter: int = 1000, x0=None):
         x, r, _, rs, k = jax.lax.while_loop(cond, body, state)
         return x, k, jnp.sqrt(rs)
 
-    x, k, res = run(b, x0)
+    x, k, res = run(b, x0, *leaves)
     return x, int(k), float(res)
 
 
@@ -73,7 +105,7 @@ def bicgstab(a, b, *, tol: float = 1e-5, maxiter: int = 1000, x0=None):
     the same device program."""
     if a.nrows != a.ncols:
         raise ValueError("bicgstab requires a square matrix")
-    mv = _matvec(a)
+    build, leaves = _operator(a)
     b = jnp.asarray(b, jnp.float32).reshape(-1)
     if b.shape[0] != a.nrows:
         raise ValueError(f"b has {b.shape[0]} entries, matrix is {a.nrows}")
@@ -81,7 +113,8 @@ def bicgstab(a, b, *, tol: float = 1e-5, maxiter: int = 1000, x0=None):
     eps = jnp.float32(1e-30)
 
     @jax.jit
-    def run(b, x0):
+    def run(b, x0, *lv):
+        mv = build(*lv)
         r0 = b - mv(x0)
         rhat = r0  # fixed shadow residual
         state = (x0, r0, r0, jnp.vdot(rhat, r0), jnp.vdot(r0, r0),
@@ -110,7 +143,7 @@ def bicgstab(a, b, *, tol: float = 1e-5, maxiter: int = 1000, x0=None):
         x, r, _, _, rs, k = jax.lax.while_loop(cond, body, state)
         return x, k, jnp.sqrt(rs)
 
-    x, k, res = run(b, x0)
+    x, k, res = run(b, x0, *leaves)
     return x, int(k), float(res)
 
 
@@ -119,16 +152,19 @@ def power_iteration(a, *, iters: int = 100, seed: int = 0):
     (eigenvalue, eigenvector)."""
     if a.nrows != a.ncols:
         raise ValueError("power_iteration requires a square matrix")
+    build, leaves = _operator(a)
     v0 = jax.random.normal(jax.random.PRNGKey(seed), (a.ncols,), jnp.float32)
 
     @partial(jax.jit, static_argnums=1)
-    def run(v, n):
+    def run(v, n, *lv):
+        mv = build(*lv)
+
         def body(i, v):
-            w = y_from_padded(a.padded_matvec(x_to_table(v, a.ncols)), a.nrows)
+            w = mv(v)
             return w * jax.lax.rsqrt(jnp.vdot(w, w) + 1e-30)
         v = jax.lax.fori_loop(0, n, body, v)
-        w = y_from_padded(a.padded_matvec(x_to_table(v, a.ncols)), a.nrows)
+        w = mv(v)
         return jnp.vdot(v, w), v
 
-    lam, v = run(v0, iters)
+    lam, v = run(v0, iters, *leaves)
     return float(lam), v

@@ -99,14 +99,40 @@ def test_ring_sharded(mesh, fmt):
 
 
 def test_sharded_unsupported_rejected(mesh):
-    """BSR (block-dense, plan-less) gets the intended NotImplementedError
-    in every sharding instead of a late AttributeError crash."""
+    """Column/ring BSR (a dense-Y collective per step) gets the intended
+    NotImplementedError instead of a late AttributeError crash; row BSR
+    is supported (test_row_sharded_bsr_spmm)."""
     from spmv_tpu.dist.ring import RingShardedSpmv
 
     info, r, c, v, x = _data(n=300, seed=1)
-    for wrapper in (RowShardedSpmv, ColShardedSpmv, RingShardedSpmv):
+    for wrapper in (ColShardedSpmv, RingShardedSpmv):
         with pytest.raises(NotImplementedError):
             wrapper("bsr", info.nrows, info.ncols, r, c, v, mesh)
+
+
+@pytest.mark.parametrize("gather_x", [True, False])
+def test_row_sharded_bsr_spmm(mesh, gather_x):
+    """Row-sharded BSR (round-3 verdict item 8): block rows shard
+    trivially; per-shard batched MXU matmul + segment-sum, X replicated
+    or all-gathered.  Ragged rows (nrows % D != 0) and matvec parity."""
+    info, r, c, v, x = _data(n=1100, seed=5)  # 1100 % 8 != 0
+    a = RowShardedSpmv("bsr", info.nrows, info.ncols, r, c, v, mesh,
+                       gather_x=gather_x)
+    rng = np.random.default_rng(11)
+    X = rng.standard_normal((info.ncols, 5)).astype(np.float32)
+    Y = np.asarray(a.spmm(X))
+    assert Y.shape == (info.nrows, 5)
+    for j in range(5):
+        exp = golden_spmv(info.nrows, r, c, v, X[:, j])
+        sc = golden_spmv(info.nrows, r, c, np.abs(v), np.abs(X[:, j]))
+        rep = check_result(exp, Y[:, j], tol_abs=1e-4, tol_rel=1e-4,
+                           scale=sc)
+        assert rep.ok, f"bsr col {j}: {rep}"
+    y = np.asarray(a.matvec(x))
+    exp = golden_spmv(info.nrows, r, c, v, x)
+    sc = golden_spmv(info.nrows, r, c, np.abs(v), np.abs(x))
+    rep = check_result(exp, y, tol_abs=1e-4, tol_rel=1e-4, scale=sc)
+    assert rep.ok, f"bsr matvec: {rep}"
 
 
 def test_row_sharded_spmm(mesh):

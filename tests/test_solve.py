@@ -81,3 +81,59 @@ def test_bicgstab_rejects_rectangular():
     a = spmv_tpu.from_coo("csr", 4, 6, [0], [0], [1.0])
     with pytest.raises(ValueError, match="square"):
         bicgstab(a, np.ones(4))
+
+
+# ---------------------------------------------------------------- dist
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    from spmv_tpu.dist.mesh import make_mesh
+
+    return make_mesh(8)
+
+
+@pytest.mark.parametrize("fmt,gather_x", [("csr", True), ("cmrs", False)])
+def test_cg_over_row_sharded(mesh, fmt, gather_x):
+    """Round-3 verdict item 7: the Krylov loop composes with the dist
+    layer — cg(RowShardedSpmv(...)) compiles as ONE SPMD program over
+    the mesh (matvec all-gather + GSPMD-partitioned dot products)."""
+    from spmv_tpu.dist.sharded import RowShardedSpmv
+
+    n, r, c, v, A = _spd(n=2 * 8 * 128 + 60, seed=11, density=0.002)
+    a = RowShardedSpmv(fmt, n, n, r, c, v, mesh, gather_x=gather_x)
+    rng = np.random.default_rng(0)
+    xtrue = rng.standard_normal(n)
+    b = A @ xtrue
+    x, iters, res = cg(a, b, tol=1e-6, maxiter=500)
+    assert 0 < iters < 500
+    rel = np.linalg.norm(np.asarray(x) - xtrue) / np.linalg.norm(xtrue)
+    assert rel < 1e-3, (rel, iters, res)
+
+
+def test_cg_over_col_sharded(mesh):
+    from spmv_tpu.dist.sharded import ColShardedSpmv
+
+    n, r, c, v, A = _spd(n=8 * 130, seed=13, density=0.003)
+    a = ColShardedSpmv("csr", n, n, r, c, v, mesh)
+    rng = np.random.default_rng(1)
+    xtrue = rng.standard_normal(n)
+    b = A @ xtrue
+    x, iters, res = cg(a, b, tol=1e-6, maxiter=500)
+    assert 0 < iters < 500
+    rel = np.linalg.norm(np.asarray(x) - xtrue) / np.linalg.norm(xtrue)
+    assert rel < 1e-3, (rel, iters, res)
+
+
+def test_power_iteration_over_row_sharded(mesh):
+    from spmv_tpu.dist.sharded import RowShardedSpmv
+
+    n, r, c, v, A = _spd(n=1100, seed=7, density=0.003)
+    u = np.random.default_rng(3).standard_normal(n)
+    u /= np.linalg.norm(u)
+    A = A + 5 * n * np.outer(u, u)
+    rr, cc = np.nonzero(A)
+    a = RowShardedSpmv("csr", n, n, rr, cc, A[rr, cc], mesh)
+    lam, vec = power_iteration(a, iters=200)
+    lam_true = np.linalg.eigvalsh(A)[-1]
+    assert abs(lam - lam_true) / lam_true < 1e-3, (lam, lam_true)
