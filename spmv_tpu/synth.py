@@ -40,33 +40,92 @@ def synthetic_cant(
     index_dtype=np.int32,
     dtype=np.float64,
 ):
-    """A cant-like FEM band matrix: ``n`` rows, per-row nnz varying around
-    ``avg_nnz_per_row`` (cant: ~4.0M nnz over 62,451 rows ≈ 64/row), columns
-    clustered in a band of ±``bandwidth`` around the diagonal.
+    """A cant-like FEM matrix: 3-dof nodes on an (nx, a, a) beam grid with
+    a box-stencil adjacency — the structure of the real Boeing/cant (a 3D
+    FEM cantilever: 62,451 dofs = 20,817 vertices × 3, ~4.0M nnz ≈
+    64.17/row, row lengths spread ~19–78 by boundary truncation).
 
-    ``sorted_by_row_length=True`` mimics ``cant-sorted.mtx`` (rows reordered
-    by descending length, the offline σ-sort the reference relies on,
-    SURVEY.md §2.2 SELL-C-σ).
+    Round 4 replaced the old uniform-random-in-band fill: real FEM columns
+    come in 3-wide vertex blocks at deterministic mesh-stencil offsets, so
+    per-(row, 128-col stripe) counts are set by geometry, not by a Poisson
+    max-statistic — the property that makes the matrix ELL/SELL-friendly
+    (the reference benchmarks exactly this class, ``ell.c:43``,
+    ``sigma_c.c:44``).  ``tests/test_synth.py`` validates the row-length
+    histogram against cant's published shape.
+
+    * ``bandwidth`` sets the beam cross-section (a ≈ sqrt(bandwidth/3)
+      vertices per side), so column offsets stay within ±~``bandwidth``;
+    * ``avg_nnz_per_row`` sets how many nearest stencil offsets each
+      vertex couples to (greedy by distance until the expected nnz
+      matches ``n · avg_nnz_per_row``);
+    * ``seed`` affects only the values (the structure is deterministic,
+      like a real mesh);
+    * ``sorted_by_row_length=True`` mimics ``cant-sorted.mtx`` (rows
+      reordered by descending length — the offline σ-sort the reference
+      relies on, SURVEY.md §2.2 SELL-C-σ).
     """
     rng = np.random.default_rng(seed)
-    # Per-row lengths: tri-modal like FEM matrices (interior/edge/corner dofs).
-    mode = rng.choice(3, size=n, p=[0.75, 0.2, 0.05])
-    base = np.array([avg_nnz_per_row + 14, avg_nnz_per_row - 26, 10])[mode]
-    lengths = np.maximum(1, base + rng.integers(-4, 5, size=n))
-    lengths = np.minimum(lengths, min(n, 2 * bandwidth))
+    n = int(n)
+    nodes = max(-(-n // 3), 1)
+    a = max(int(round((max(bandwidth, 3) / 3.0) ** 0.5)), 1)
+    ny = nz = min(a, nodes)
+    nx = max(-(-nodes // (ny * nz)), 1)
+
+    # Candidate stencil offsets sorted by distance (then lexicographic for
+    # determinism); radius grows until the box can hold avg/3 neighbors.
+    r = 1
+    while (2 * r + 1) ** 3 * 3 < 2 * avg_nnz_per_row and r < 8:
+        r += 1
+    d = np.arange(-r, r + 1)
+    dx, dy, dz = np.meshgrid(d, d, d, indexing="ij")
+    offs = np.stack([dx.ravel(), dy.ravel(), dz.ravel()], axis=1)
+    order = np.lexsort((offs[:, 2], offs[:, 1], offs[:, 0],
+                        (offs ** 2).sum(axis=1)))
+    offs = offs[order]
+    # Greedy: include nearest offsets until expected nnz reaches target
+    # (each valid vertex pair contributes a 3x3 dof block).
+    valid_count = ((np.maximum(nx - np.abs(offs[:, 0]), 0))
+                   * np.maximum(ny - np.abs(offs[:, 1]), 0)
+                   * np.maximum(nz - np.abs(offs[:, 2]), 0))
+    target_pairs = n * avg_nnz_per_row / 9.0
+    csum = np.cumsum(valid_count)
+    k = int(np.searchsorted(csum, target_pairs)) + 1
+    k = min(max(k, 1), offs.shape[0])
+    offs = offs[:k]
+
+    # Vertex adjacency (vectorized over offsets), then expand to 3x3 dof
+    # blocks.  Vertex id = x·(ny·nz) + y·nz + z.
+    vx, vy, vz = np.meshgrid(np.arange(nx), np.arange(ny), np.arange(nz),
+                             indexing="ij")
+    vid = (vx * (ny * nz) + vy * nz + vz).ravel()
+    vx, vy, vz = vx.ravel(), vy.ravel(), vz.ravel()
+    src, dst = [], []
+    for ox, oy, oz in offs:
+        m = ((vx + ox >= 0) & (vx + ox < nx) & (vy + oy >= 0)
+             & (vy + oy < ny) & (vz + oz >= 0) & (vz + oz < nz))
+        src.append(vid[m])
+        dst.append(vid[m] + ox * (ny * nz) + oy * nz + oz)
+    src = np.concatenate(src).astype(np.int64)
+    dst = np.concatenate(dst).astype(np.int64)
+
+    # dof-level 3x3 blocks; clip to the requested n (the last vertex may
+    # carry fewer than 3 dofs when 3 ∤ n, and the grid may overshoot).
+    da = np.arange(3, dtype=np.int64)
+    shape = (src.size, 3, 3)
+    rows = np.broadcast_to(3 * src[:, None, None] + da[None, :, None],
+                           shape).ravel()
+    cols = np.broadcast_to(3 * dst[:, None, None] + da[None, None, :],
+                           shape).ravel()
+    keep = (rows < n) & (cols < n)
+    rows, cols = rows[keep], cols[keep]
 
     if sorted_by_row_length:
-        lengths = np.sort(lengths)[::-1].copy()
+        lengths = np.bincount(rows, minlength=n)
+        perm = np.argsort(-lengths, kind="stable")  # new order of old rows
+        inv = np.empty(n, dtype=np.int64)
+        inv[perm] = np.arange(n, dtype=np.int64)
+        rows = inv[rows]
 
-    total = int(lengths.sum())
-    rows = np.repeat(np.arange(n, dtype=np.int64), lengths)
-    # Clustered band columns: offsets in [-bandwidth, bandwidth] around diag.
-    offs = rng.integers(-bandwidth, bandwidth + 1, size=total)
-    cols = np.clip(rows + offs, 0, n - 1)
-    # Dedup within row to keep the format converters honest about true nnz.
-    key = rows * np.int64(n) + cols
-    _, keep = np.unique(key, return_index=True)
-    rows, cols = rows[keep], cols[keep]
     vals = rng.standard_normal(rows.size)
     return _as_result(n, n, rows, cols, vals, index_dtype, dtype)
 
