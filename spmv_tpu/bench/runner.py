@@ -71,6 +71,8 @@ class BenchResult:
 
 
 def _fetch(o) -> float:
+    if isinstance(o, tuple):  # TiledSpmv's loop returns (x_panels, y)
+        return float(sum(jnp.sum(t) for t in o))
     return float(jnp.sum(o))
 
 
@@ -266,7 +268,13 @@ def bench_formats_interleaved(
 
     With ``probe=True`` the HBM ceiling probe joins the rotation and the
     return value is ``(results, bw)`` with every result denominated
-    against that co-sampled ceiling."""
+    against that co-sampled ceiling.  A caller-supplied ``hbm_bw`` then
+    acts as a FLOOR on the denominator: every probe window measures a
+    lower bound of the chip's speed of light (contention only lowers
+    readings), so the max over sampled windows is the best available
+    ceiling estimate and keeps the roofline conservative — a low-drawing
+    co-sample must never manufacture a >100% reading (round-3 verdict:
+    the big-tiled row printed 102.6%)."""
     preps = {name: _Prepared(a, name, iters_a, iters_b, adapt=adapt)
              for name, a in objs.items()}
     pp = _ProbePrepared(mb=probe_mb) if probe else None
@@ -277,7 +285,7 @@ def bench_formats_interleaved(
         for j in range(len(members)):
             members[(j + rep) % len(members)].time_round(rep)
     if pp is not None:
-        bw = pp.bandwidth()
+        bw = max(pp.bandwidth(), hbm_bw or 0.0)
         return {n: p.result(bw) for n, p in preps.items()}, bw
     return {name: prep.result(hbm_bw) for name, prep in preps.items()}
 

@@ -197,11 +197,22 @@ class TiledSpmv:
     def chained_loop(self, iters: int):
         """`iters` chained full matvecs inside ONE jit — the slope-timing
         hook ``bench.runner._chained_loop`` delegates to (same protocol:
-        device arrays as jit ARGUMENTS, ~1 KB probe-row dependency)."""
+        device arrays as jit ARGUMENTS, ~1 KB probe-row dependency).
+
+        The FULL (DR·nb, 128) y rides as a loop carry.  Round 3 fed only
+        ``y[0:1]`` of each slab into the probe; the per-slab add chains
+        are plain XLA elementwise ops, so XLA narrowed them to row 0 and
+        the billed per-tile part reads + per-slab y writes (~11% of the
+        4.2M-row traffic) never happened in the timed loop — the source
+        of the recorded *102.6%* roofline (a kernel can't beat the
+        ceiling; the bench was under-doing, not over-performing).  With
+        y as a carry the body must materialize every row each iteration,
+        so the timed loop streams exactly what ``matvec`` does."""
         import jax
         import jax.numpy as jnp
 
         DR = self.DR
+        nb = self.rps // LANES
         attrs = [[_leaves(c)[0] for _, c in self.tiles[d]]
                  for d in range(DR)]
 
@@ -215,22 +226,28 @@ class TiledSpmv:
                     k += len(a)
                 rebound.append(conts)
 
-            def body(i, xp):
-                probe = jnp.zeros((1, LANES), jnp.float32)
-                for d in range(DR):
-                    y = self._slab_parts(d, rebound[d], xp)
-                    probe = probe + y[0:1, :LANES]
+            y0 = jnp.zeros((DR * nb, LANES), jnp.float32)
+
+            def body(i, state):
+                xp, y_prev = state
+                ys = [self._slab_parts(d, rebound[d], xp)
+                      for d in range(DR)]
+                y_full = jnp.concatenate(ys, axis=0)  # (DR·nb, 128)
                 # the probe must feed back into EVERY panel: updating only
                 # panel 0 left panels 1..DC-1 loop-invariant, and XLA
                 # hoisted those tiles' entire kernels out of the loop —
                 # the recorded big row then measured a fraction of the
                 # work (billed 848 GB/s > the 819 GB/s part spec, the
                 # giveaway).  ~DC·512 B of extra traffic per iteration.
+                # y_prev's row 0 joins so the y carry is live every
+                # iteration.
+                probe = y_full[0:1, :LANES] + y_prev[0:1, :LANES] * 1e-38
                 probe_rows = xp[:, 0:1, :] + probe[None] * 1e-38
-                return jax.lax.dynamic_update_slice(
-                    xp, probe_rows, (0, 0, 0))
+                return (jax.lax.dynamic_update_slice(
+                    xp, probe_rows, (0, 0, 0)), y_full)
 
-            return jax.lax.fori_loop(0, iters, body, x_panels)
+            # both carries returned: the y write is part of the timed work
+            return jax.lax.fori_loop(0, iters, body, (x_panels, y0))
 
         flat = [v for d in range(DR) for _, c in self.tiles[d]
                 for v in _leaves(c)[1]]

@@ -39,10 +39,27 @@ def test_bench_format_structure(small):
     assert d["gbps_upper"] == pytest.approx(2 * d["nnz"] * 8 / ms * 1e-6)
 
 
+def _expected_total(a) -> float:
+    """The documented split-aware billing: the panel container unless the
+    shape is pure-spill (never dispatched), plus the spill stream, plus
+    SELL's unpermute epilogue."""
+    spill = getattr(a, "dev_spill", None)
+    if spill is not None and getattr(a, "panel_nnz", 1) == 0:
+        expected = float(spill.stream_bytes + spill.aux_traffic_bytes)
+    else:
+        expected = float(a.dev.stream_bytes + a.dev.aux_traffic_bytes)
+        if spill is not None:
+            expected += float(spill.stream_bytes + spill.aux_traffic_bytes)
+    return expected + float(getattr(a, "epilogue_bytes", 0))
+
+
 def test_traffic_model_exact_bytes(small):
     info, r, c, v = small
-    for fmt, streams in [("csr", "seg"), ("ell", "panel")]:
-        a = spmv_tpu.from_coo(fmt, info.nrows, info.ncols, r, c, v)
+    # split=False pins the pure-panel stream constants for ELL; the
+    # auto-split routing is covered by the sell/hyb test below
+    for fmt, streams, kw in [("csr", "seg", {}),
+                             ("ell", "panel", {"split": False})]:
+        a = spmv_tpu.from_coo(fmt, info.nrows, info.ncols, r, c, v, **kw)
         slots, total = traffic_model(a)
         assert slots == a.dev.element_slots
         assert total == a.dev.stream_bytes + a.dev.aux_traffic_bytes
@@ -56,28 +73,18 @@ def test_traffic_model_exact_bytes(small):
         assert bps == pytest.approx(expected)
 
 
-def test_traffic_model_counts_hyb_spill_and_sell_epilogue():
+def test_traffic_model_counts_split_spill_and_sell_epilogue():
     info, r, c, v = synth.power_law(n=2048, avg_nnz_per_row=16,
                                     bandwidth=128, seed=3)
     sell = spmv_tpu.from_coo("sell", info.nrows, info.ncols, r, c, v)
     assert sell.sorted_rows
     _, total = traffic_model(sell)
-    assert total == (sell.dev.stream_bytes + sell.dev.aux_traffic_bytes
-                     + sell.epilogue_bytes)
+    assert total == _expected_total(sell)
 
-    hyb = spmv_tpu.from_coo("hyb", info.nrows, info.ncols, r, c, v)
-    _, total_h = traffic_model(hyb)
-    if hyb.dev_spill is not None and hyb.panel_nnz == 0:
-        # pure-spill collapse never dispatches the (empty) panel
-        # container — only the spill stream is billed
-        expected = float(hyb.dev_spill.stream_bytes
-                         + hyb.dev_spill.aux_traffic_bytes)
-    else:
-        expected = float(hyb.dev.stream_bytes + hyb.dev.aux_traffic_bytes)
-        if hyb.dev_spill is not None:
-            expected += float(hyb.dev_spill.stream_bytes
-                              + hyb.dev_spill.aux_traffic_bytes)
-    assert total_h == expected
+    for fmt in ("hyb", "ell"):
+        a = spmv_tpu.from_coo(fmt, info.nrows, info.ncols, r, c, v)
+        _, total_h = traffic_model(a)
+        assert total_h == _expected_total(a)
 
 
 def test_interleaved_with_probe_returns_ceiling(small):

@@ -88,12 +88,23 @@ def test_tiled_chained_loop_and_traffic():
     a = TiledSpmv("csr", info.nrows, info.ncols, r, c, v,
                   slab_rows=1024, panel_cols=1024)
     xp = a.x_table(x)
-    out = np.asarray(a.chained_loop(2)(xp))
+    out, y_loop = a.chained_loop(2)(xp)
+    out = np.asarray(out)
     assert out.shape == xp.shape
     # rows 1.. of panel 0 and all other panels untouched by the probe
     np.testing.assert_array_equal(out[0, 1:], np.asarray(xp)[0, 1:])
     np.testing.assert_array_equal(out[1:], np.asarray(xp)[1:])
     assert out[0, 0, :].shape == (128,)
+    # the FULL y rides as a loop carry — the billed per-tile part reads
+    # and per-slab y writes are real in the timed loop (round-3 verdict:
+    # narrowing the add chain to y[0:1] let XLA skip ~11% of the billed
+    # traffic and print a 102.6% roofline)
+    assert np.asarray(y_loop).shape == (a.DR * (a.rps // 128), 128)
+    # probe perturbations are O(1e-38), so the carried y equals A·x
+    ref = np.asarray(a.matvec(x))
+    np.testing.assert_allclose(
+        np.asarray(y_loop).reshape(-1)[: a.nrows], ref, rtol=2e-5,
+        atol=1e-5)
     from spmv_tpu.bench.runner import traffic_model
     slots, total = traffic_model(a)
     assert slots >= a.nnz
