@@ -103,6 +103,9 @@ def weak_scaling(
     device_counts=None,
     gather_x: bool = True,
     seed: int = 0,
+    iters_a: int = 20,
+    iters_b: int = 60,
+    repeats: int = 3,
 ) -> list[ScalePoint]:
     """Run the weak-scaling sweep; returns one point per device count."""
     from spmv_tpu.dist.mesh import make_mesh
@@ -125,7 +128,8 @@ def weak_scaling(
                             mesh, gather_x=gather_x)
         x = np.random.default_rng(seed).standard_normal(
             info.ncols).astype(np.float32)
-        t = _time_sharded(sh, x)
+        t = _time_sharded(sh, x, iters_a=iters_a, iters_b=iters_b,
+                          repeats=repeats)
         if t1 is None:
             t1 = t
         points.append(ScalePoint(
