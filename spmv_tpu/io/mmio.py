@@ -11,8 +11,13 @@ Superset of the reference's behavior:
   complex (``helper_functions.h:151-156``); we additionally expand
   ``symmetric`` / ``skew-symmetric`` / ``hermitian`` storage and read dense
   ``array`` bodies,
-* a write path equivalent to ``mm_write_banner`` / ``mm_write_mtx_crd``
-  (``mmio.c:181-187, 386-440``),
+* a full write path — coordinate (``write_coo``) and dense array
+  (``write_dense``) — equivalent to ``mm_write_banner`` /
+  ``mm_write_mtx_crd`` / the array writer (``mmio.c:181-187, 249-255,
+  386-440``),
+* typecode diagnostics: wrong-format errors name the file's actual kind
+  via ``typecode_str`` (``mm_typecode_to_str``, ``mmio.c:455-510``),
+* transparent ``.mtx.gz`` on every read/write entry point,
 * the hot parse path uses ``np.fromfile(sep=' ')`` (C-speed token parsing)
   instead of a per-line scanf loop; see ``spmv_tpu.io.native`` for the
   optional C++ parser that replaces even that.
@@ -36,6 +41,8 @@ __all__ = [
     "read_coo",
     "write_coo",
     "read_dense",
+    "write_dense",
+    "typecode_str",
 ]
 
 
@@ -76,6 +83,19 @@ class MMInfo:
         return self.symmetry != "general"
 
 
+def typecode_str(info: "MMInfo | tuple[str, str, str, str]") -> str:
+    """Human-readable typecode description — the analog of
+    ``mm_typecode_to_str`` (``mmio.c:455-510``), which the reference uses
+    to print what kind of matrix a failing file actually was.  Accepts an
+    ``MMInfo`` or a raw ``(object, format, field, symmetry)`` tuple and
+    returns e.g. ``"matrix coordinate real general"``."""
+    if isinstance(info, MMInfo):
+        parts = (info.object, info.format, info.field, info.symmetry)
+    else:
+        parts = tuple(info)
+    return " ".join(parts)
+
+
 def _parse_banner_line(line: str) -> tuple[str, str, str, str]:
     parts = line.strip().split()
     if len(parts) < 5 or parts[0] != "%%MatrixMarket":
@@ -95,7 +115,24 @@ def _parse_banner_line(line: str) -> tuple[str, str, str, str]:
 def _open(path_or_file):
     if hasattr(path_or_file, "read"):
         return path_or_file, False
+    if str(path_or_file).endswith(".gz"):
+        import gzip
+
+        # BufferedReader over the decompressor: the body parsers' seekable/
+        # fromfile fast path is skipped (GzipFile streams), but read() works
+        # and the native parser consumes the decompressed buffer whole.
+        return gzip.open(path_or_file, "rb"), True
     return open(path_or_file, "rb"), True
+
+
+def _open_w(path_or_file):
+    if hasattr(path_or_file, "write"):
+        return path_or_file, False
+    if str(path_or_file).endswith(".gz"):
+        import gzip
+
+        return gzip.open(path_or_file, "wt"), True
+    return open(path_or_file, "w"), True
 
 
 def read_banner(path_or_file) -> MMInfo:
@@ -200,7 +237,8 @@ def read_coo(
     try:
         info = _read_banner_open(f)
         if info.format != "coordinate":
-            raise MMError("read_coo requires coordinate format; use read_dense")
+            raise MMError("read_coo requires coordinate format, file is "
+                          f"[{typecode_str(info)}]; use read_dense")
 
         tokens_per_entry = {"real": 3, "integer": 3, "pattern": 2, "complex": 4}[
             info.field
@@ -269,7 +307,8 @@ def read_dense(path_or_file, *, dtype=np.float64) -> tuple[MMInfo, np.ndarray]:
     try:
         info = _read_banner_open(f)
         if info.format != "array":
-            raise MMError("read_dense requires array format; use read_coo")
+            raise MMError("read_dense requires array format, file is "
+                          f"[{typecode_str(info)}]; use read_coo")
         per = 2 if info.field == "complex" else 1
         if info.is_symmetric:
             # Stored entries: lower triangle incl. diagonal, column-major.
@@ -324,10 +363,7 @@ def write_coo(
     field = "pattern" if vals is None else (
         "complex" if np.iscomplexobj(vals) else "real"
     )
-    f, should_close = _open(path_or_file) if hasattr(path_or_file, "write") else (
-        open(path_or_file, "w"),
-        True,
-    )
+    f, should_close = _open_w(path_or_file)
     try:
         f.write(f"%%MatrixMarket matrix coordinate {field} general\n")
         if comment:
@@ -345,6 +381,36 @@ def write_coo(
                 [rows + 1, cols + 1, np.asarray(vals, dtype=np.float64)]
             )
             np.savetxt(f, body, fmt="%d %d %.17g")
+    finally:
+        if should_close:
+            f.close()
+
+
+def write_dense(path_or_file, a: np.ndarray, *,
+                comment: str | None = None) -> None:
+    """Write a dense matrix as an ``array``-format MatrixMarket file
+    (column-major body, one value per line) — the analog of
+    ``mm_write_mtx_array_size`` + the dense half of the reference's write
+    path (``mmio.c:249-255, 386-440``), which ``io/mmio.py`` previously
+    lacked (the last mmio parity residue).  Complex input writes
+    ``real imag`` pairs; everything else writes ``real``."""
+    a = np.asarray(a)
+    if a.ndim != 2:
+        raise MMError(f"write_dense requires a 2-D array, got shape {a.shape}")
+    field = "complex" if np.iscomplexobj(a) else "real"
+    f, should_close = _open_w(path_or_file)
+    try:
+        f.write(f"%%MatrixMarket matrix array {field} general\n")
+        if comment:
+            for line in comment.splitlines():
+                f.write(f"%{line}\n")
+        f.write(f"{a.shape[0]} {a.shape[1]}\n")
+        flat = a.T.reshape(-1)  # column-major storage order (mmio.c:417)
+        if field == "complex":
+            body = np.column_stack([flat.real, flat.imag])
+            np.savetxt(f, body, fmt="%.17g %.17g")
+        else:
+            np.savetxt(f, flat.astype(np.float64), fmt="%.17g")
     finally:
         if should_close:
             f.close()

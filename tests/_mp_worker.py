@@ -1,4 +1,4 @@
-"""Worker for the 2-process distributed test (see test_multiprocess.py).
+"""Worker for the 2-process distributed tests (see test_multiprocess.py).
 
 Each process brings up jax.distributed via ``mesh.init_distributed`` (the
 multi-host entry point, VERDICT round-1 item 5), contributes 4 virtual CPU
@@ -7,6 +7,7 @@ processes; each process validates the y rows its own devices produced
 against the fp64 oracle.
 
 Usage: _mp_worker.py <coordinator> <num_processes> <process_id>
+                     [format] [nrows] [gather_x]
 """
 
 import os
@@ -20,6 +21,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main() -> int:
     coordinator, nproc, pid = sys.argv[1], int(sys.argv[2]), int(sys.argv[3])
+    fmt = sys.argv[4] if len(sys.argv) > 4 else "cmrs"
+    nrows = int(sys.argv[5]) if len(sys.argv) > 5 else 1024
+    gather_x = (sys.argv[6] != "0") if len(sys.argv) > 6 else True
 
     import jax
 
@@ -42,13 +46,13 @@ def main() -> int:
     from spmv_tpu.dist.sharded import RowShardedSpmv
     from spmv_tpu.oracle import golden_spmv
 
-    info, r, c, v = synth.synthetic_cant(n=1024, avg_nnz_per_row=8,
+    info, r, c, v = synth.synthetic_cant(n=nrows, avg_nnz_per_row=8,
                                          bandwidth=60, seed=11)
     x = np.random.default_rng(3).standard_normal(info.ncols).astype(np.float32)
 
     mesh = make_mesh(len(jax.devices()))
-    a = RowShardedSpmv("cmrs", info.nrows, info.ncols, r, c, v, mesh,
-                       gather_x=True)
+    a = RowShardedSpmv(fmt, info.nrows, info.ncols, r, c, v, mesh,
+                       gather_x=gather_x)
     y = a.matvec(x)  # global sharded jax.Array
 
     expected = golden_spmv(info.nrows, r, c, v, x)
@@ -64,7 +68,8 @@ def main() -> int:
         checked += exp.size
     assert checked > 0, "process validated no rows"
     assert bad == 0, f"{bad}/{checked} mismatches on process {pid}"
-    print(f"proc {pid}: validated {checked} local rows over "
+    print(f"proc {pid}: validated {checked} local rows of {fmt} "
+          f"(nrows={info.nrows}, gather_x={gather_x}) over "
           f"{jax.process_count()} processes OK", flush=True)
     return 0
 

@@ -160,3 +160,69 @@ def test_native_parser_parity(tmp_path):
     np.testing.assert_array_equal(r1, r2)
     np.testing.assert_array_equal(c1, c2)
     np.testing.assert_array_equal(v1, v2)
+
+
+def test_typecode_str():
+    """mm_typecode_to_str parity (mmio.c:455-510): diagnostics name the
+    file's actual kind."""
+    f = io.StringIO(
+        "%%MatrixMarket matrix coordinate real symmetric\n2 2 1\n1 1 3.0\n"
+    )
+    info = mmio.read_banner(f)
+    assert mmio.typecode_str(info) == "matrix coordinate real symmetric"
+    assert (mmio.typecode_str(("matrix", "array", "complex", "general"))
+            == "matrix array complex general")
+    # the wrong-format errors carry the typecode string
+    f2 = io.StringIO(
+        "%%MatrixMarket matrix array real general\n1 1\n7\n")
+    with pytest.raises(mmio.MMError, match=r"matrix array real general"):
+        mmio.read_coo(f2)
+    f3 = io.StringIO(
+        "%%MatrixMarket matrix coordinate real general\n1 1 1\n1 1 7\n")
+    with pytest.raises(mmio.MMError, match=r"matrix coordinate real"):
+        mmio.read_dense(f3)
+
+
+def test_write_dense_roundtrip(tmp_path):
+    """Dense-array write path (mmio.c:386-440 analog): column-major body,
+    read back by read_dense."""
+    a = np.arange(12, dtype=np.float64).reshape(3, 4) / 7.0
+    p = tmp_path / "d.mtx"
+    mmio.write_dense(str(p), a, comment="dense roundtrip")
+    info, b = mmio.read_dense(str(p))
+    assert (info.nrows, info.ncols) == (3, 4)
+    np.testing.assert_allclose(b, a, rtol=0, atol=0)
+
+
+def test_write_dense_complex_and_errors(tmp_path):
+    z = np.array([[1 + 2j, -3.5j]], dtype=np.complex128)
+    p = tmp_path / "z.mtx"
+    mmio.write_dense(str(p), z)
+    info, b = mmio.read_dense(str(p), dtype=np.complex128)
+    assert info.field == "complex"
+    np.testing.assert_allclose(b, z)
+    with pytest.raises(mmio.MMError, match="2-D"):
+        mmio.write_dense(io.StringIO(), np.arange(3.0))
+
+
+def test_gzip_roundtrip(tmp_path):
+    """.mtx.gz is accepted transparently on both read and write paths
+    (ingestion hardening for when a real compressed cant.mtx appears)."""
+    rows = np.array([0, 2, 2])
+    cols = np.array([1, 0, 2])
+    vals = np.array([1.5, -2.0, 4.25])
+    p = tmp_path / "m.mtx.gz"
+    mmio.write_coo(str(p), 3, 3, rows, cols, vals)
+    import gzip
+
+    with gzip.open(p, "rt") as f:
+        assert f.readline().startswith("%%MatrixMarket")
+    info, r, c, v = mmio.read_coo(str(p))
+    assert info.nnz == 3
+    np.testing.assert_array_equal(r, rows)
+    np.testing.assert_allclose(v, vals)
+    assert mmio.read_banner(str(p)).nrows == 3
+    pd = tmp_path / "d.mtx.gz"
+    mmio.write_dense(str(pd), np.eye(2))
+    _, a = mmio.read_dense(str(pd))
+    np.testing.assert_allclose(a, np.eye(2))

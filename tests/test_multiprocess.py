@@ -18,14 +18,24 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def test_two_process_row_sharded_spmv():
+# ≥2 formats × ragged/even row counts × both x paths (round-3 verdict
+# item 10): 1021 % 8 devices ≠ 0 exercises the padded last shard through
+# init_distributed/put_sharded — the most fragile true-multi-host path.
+@pytest.mark.parametrize("fmt,nrows,gather_x", [
+    ("cmrs", 1024, True),   # the BASELINE.json multi-host config
+    ("hyb", 1021, True),    # two-part plan, ragged last shard
+    ("csr", 1021, False),   # replicated x, ragged
+    ("sell", 1024, False),  # σ-sort + unpermute epilogue per shard
+])
+def test_two_process_row_sharded_spmv(fmt, nrows, gather_x):
     worker = os.path.join(os.path.dirname(__file__), "_mp_worker.py")
     coord = f"127.0.0.1:{_free_port()}"
     env = {k: v for k, v in os.environ.items()
            if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
     procs = [
         subprocess.Popen(
-            [sys.executable, worker, coord, "2", str(pid)],
+            [sys.executable, worker, coord, "2", str(pid), fmt,
+             str(nrows), "1" if gather_x else "0"],
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
             env=env)
         for pid in range(2)
