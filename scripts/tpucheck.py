@@ -33,8 +33,8 @@ def main() -> int:
 
     import spmv_tpu
     from spmv_tpu import synth
-    from spmv_tpu.oracle import (check_result, engine_rel_tol, golden_spmv,
-                                 seg_engine_scale)
+    from spmv_tpu.oracle import (check_result, container_scale,
+                                 engine_rel_tol, golden_spmv)
 
     cases = {
         "band": synth.synthetic_cant(n=4096, avg_nnz_per_row=24,
@@ -56,12 +56,10 @@ def main() -> int:
             try:
                 a = spmv_tpu.from_coo(fmt, info.nrows, info.ncols, r, c, v)
                 y = np.asarray(a.matvec(x))
-                scale = row_abs
-                plan = getattr(a, "plan", None)
-                if plan is not None and not hasattr(plan, "gidx"):
-                    plan = getattr(a, "spill_plan", None)  # HYB
-                if plan is not None and hasattr(plan, "gidx"):
-                    scale = seg_engine_scale(plan, x, row_abs)
+                # every SegPlan the container actually runs (main plan or
+                # the priced spill part of hyb/ell/sell; SELL's maps back
+                # through its σ-permutation)
+                scale = container_scale(a, x, row_abs)
                 rep = check_result(expected, y, tol_abs=1e-5, scale=scale,
                                    tol_rel=tol)
                 out["checks"].append({
