@@ -12,7 +12,14 @@ EPSILON, ``inc/helper_functions.h:11``).
 
 Covers the five reference formats (csr/coo/cmrs → segmented engine,
 ell/sell → panel engine with the σ-sort + unpermute epilogue applied to
-both halves).  The HYB/BSR extensions stay fp32-only.
+both halves) plus HYB (round 4): the priced panel/spill split depends
+only on the sparsity pattern, so both parts carry (hi, lo) planes and
+``matvec`` adds the two double-single partial sums in fp64 on host —
+exact at the output precision.  BSR stays fp32-only: its tiles feed the
+MXU as dense f32 matmuls, and a double-single tile product would need
+three extra full matmuls (hi·lo, lo·hi, error terms) for a format whose
+point is MXU density — use csr/f32x2 when extended precision matters
+more than R ≳ 32 throughput.
 """
 
 from __future__ import annotations
@@ -32,7 +39,7 @@ from spmv_tpu.formats.base import (
 
 __all__ = ["X2Matrix", "X2_FORMATS"]
 
-X2_FORMATS = ("csr", "coo", "cmrs", "ell", "sell", "sell_c_sigma")
+X2_FORMATS = ("csr", "coo", "cmrs", "ell", "sell", "sell_c_sigma", "hyb")
 _SEG = ("csr", "coo", "cmrs")
 
 
@@ -48,6 +55,8 @@ class X2Matrix:
     # SELL epilogue tables (None when the adaptive σ kept natural order)
     _perm_whi: object = field(repr=False, default=None)
     _perm_idx: object = field(repr=False, default=None)
+    # HYB's segmented spill part (None = single-engine shape)
+    dev_spill: object = field(repr=False, default=None)
 
     @classmethod
     def from_coo(cls, format: str, nrows: int, ncols: int, rows, cols, vals,
@@ -66,7 +75,45 @@ class X2Matrix:
         vl = (v64 - vh.astype(np.float64)).astype(np.float32)
 
         perm_whi = perm_idx = None
+        dev_spill = None
         is_seg = format in _SEG
+        if format == "hyb":
+            # the priced split is pattern-only, so hi and lo planes share
+            # one (keep, spill) partition; each part runs its own x2
+            # engine and matvec adds the two double-single partial sums
+            # in fp64 (exact at the output precision)
+            from spmv_tpu.formats.split import priced_split
+
+            # split the fp64 values so the returned ordering carries them;
+            # the hi/lo planes are re-derived on the split's ordering
+            r, c, v64_s, keep, shape = priced_split(rows, cols, v64,
+                                                    nrows, ncols)
+            vh2 = v64_s.astype(np.float32)
+            vl2 = (v64_s - vh2.astype(np.float64)).astype(np.float32)
+            if shape == "spill":
+                is_seg = True
+                plan = build_seg_plan(r, c, vh2, nrows, ncols, chunk=chunk,
+                                      pack=pack)
+                plan_lo = build_seg_plan(r, c, vl2, nrows, ncols,
+                                         chunk=chunk, pack=plan.pack)
+                dev = DevSeg.from_plan(plan, plan_lo)
+            else:
+                plan = build_panel_plan(r[keep], c[keep], vh2[keep], nrows,
+                                        ncols, chunk=chunk, pack=pack)
+                plan_lo = build_panel_plan(r[keep], c[keep], vl2[keep],
+                                           nrows, ncols, chunk=chunk,
+                                           pack=plan.pack)
+                dev = DevPanel.from_plan(plan, plan_lo)
+                if shape == "hyb":
+                    sp = build_seg_plan(r[~keep], c[~keep], vh2[~keep],
+                                        nrows, ncols, chunk=chunk)
+                    sp_lo = build_seg_plan(r[~keep], c[~keep], vl2[~keep],
+                                           nrows, ncols, chunk=chunk,
+                                           pack=sp.pack)
+                    dev_spill = DevSeg.from_plan(sp, sp_lo)
+            return cls(format=format, nrows=nrows, ncols=ncols,
+                       nnz=rows.size, dev=dev, is_seg=is_seg,
+                       dev_spill=dev_spill)
         if is_seg:
             plan = build_seg_plan(rows, cols, vh, nrows, ncols, chunk=chunk,
                                   pack=pack)
@@ -104,6 +151,17 @@ class X2Matrix:
         x2d = jnp.asarray(x_to_table_x2(x, self.ncols))
         fn = segmented_spmv_x2 if self.is_seg else panel_spmv_x2
         yh, yl = fn(self.dev, x2d)
+        if self.dev_spill is not None:
+            sh, sl = segmented_spmv_x2(self.dev_spill, x2d)
+            # the two engines' padded row counts may differ (independent
+            # window heights); rows past the true blocks are zero
+            n = max(yh.shape[0], sh.shape[0])
+            yp = np.zeros((n, LANES), np.float64)
+            yp[: yh.shape[0]] = (np.asarray(yh, np.float64)
+                                 + np.asarray(yl, np.float64))
+            yp[: sh.shape[0]] += (np.asarray(sh, np.float64)
+                                  + np.asarray(sl, np.float64))
+            return yp.reshape(-1)[: self.nrows]
         if self._perm_whi is not None:
             from spmv_tpu.kernels.engines import inverse_permute_blocks
 
@@ -137,10 +195,20 @@ class X2Matrix:
 
         fn = segmented_spmv_x2 if self.is_seg else panel_spmv_x2
         yh, yl = fn(self.dev, x2d)
+        if self.dev_spill is not None:
+            import jax.numpy as jnp
+
+            sh, sl = segmented_spmv_x2(self.dev_spill, x2d)
+            n = max(yh.shape[0], sh.shape[0])
+            return (jnp.zeros((n, LANES), jnp.float32)
+                    .at[: yh.shape[0]].add(yh + yl)
+                    .at[: sh.shape[0]].add(sh + sl))
         return yh + yl
 
     @property
     def stream_bytes(self) -> int:
+        if self.dev_spill is not None:
+            return self.dev.stream_bytes + self.dev_spill.stream_bytes
         return self.dev.stream_bytes
 
     @property

@@ -59,8 +59,46 @@ def test_x2_scattered_and_sell_epilogue():
         assert err < 1e-6, f"{fmt}: {err:.3e}"
 
 
-def test_x2_rejects_extension_formats():
-    with pytest.raises(ValueError):
-        X2Matrix.from_coo("hyb", 8, 8, [0], [0], [1.0])
+def test_x2_rejects_bsr():
+    # BSR stays fp32-only (a double-single tile product would need three
+    # extra full MXU matmuls — rationale in the x2 module docstring)
     with pytest.raises(ValueError):
         X2Matrix.from_coo("bsr", 8, 8, [0], [0], [1.0])
+
+
+def test_x2_hyb_two_part(monkeypatch):
+    """f32x2 HYB runs BOTH x2 engines when the priced split keeps a
+    genuine panel + spill partition (round-3 verdict item 6: extend x2 to
+    HYB's two-part plan).  At test scale the second dispatch never
+    amortizes, so the dispatch term is zeroed to expose the byte-priced
+    hybrid shape."""
+    from spmv_tpu.formats import split
+
+    monkeypatch.setattr(split, "_DISPATCH_S", 0.0)
+
+    # block-dense stripes (panel-friendly) + a few HUB rows carrying the
+    # scatter (cap 0 for their off-stripe pairs -> genuine spill part;
+    # scatter spread over ALL rows would quad-pad the capped panel and
+    # the byte model would rightly collapse to pure spill)
+    n = 512
+    rows_d = np.repeat(np.arange(n), 32)
+    cols_d = (rows_d // 128) * 128 + np.tile(np.arange(32), n)
+    rng = np.random.default_rng(11)
+    hubs = rng.choice(n, 16, replace=False)
+    rows_s = np.repeat(hubs, 250)
+    cols_s = rng.integers(0, n, rows_s.size)
+    rows = np.concatenate([rows_d, rows_s])
+    cols = np.concatenate([cols_d, cols_s])
+    key = rows * n + cols
+    _, first = np.unique(key, return_index=True)
+    rows, cols = rows[first], cols[first]
+    v = (rng.standard_normal(rows.size)
+         * (1 + 1e-9 * np.arange(rows.size)))
+
+    a = X2Matrix.from_coo("hyb", n, n, rows, cols, v)
+    assert a.dev_spill is not None, "pricing collapsed to a single engine"
+    x = rng.standard_normal(n)
+    A = np.zeros((n, n))
+    A[rows, cols] = v
+    err = np.abs(a.matvec(x) - A @ x).max()
+    assert err < 1e-8, f"two-part x2 hyb abs err {err:.3e}"
