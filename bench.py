@@ -123,8 +123,14 @@ def main():
         # 24 rounds: the class flags ride small structural margins under
         # ±5% chip noise — only tighter minima keep them honest (never
         # widen the tie allowance instead).
+        # hbm_bw floors the co-sampled ceiling with the main suite's
+        # tightly-sampled one: the forced pure-panel diagnostics stream
+        # 15-36x padded bytes, and a low probe draw once printed an
+        # impossible 102% roofline for ell_pure (readings above 100% are
+        # ceiling-sampling artifacts, DESIGN.md fact 6)
         pl_bench, _pl_bw = bench_formats_interleaved(
-            pobjs, probe=True, iters_a=400, iters_b=2000, repeats=24)
+            pobjs, probe=True, hbm_bw=bw, iters_a=400, iters_b=2000,
+            repeats=24)
         for fmt, r in pl_bench.items():
             pl_results[fmt] = r.to_dict()
             print(
