@@ -346,6 +346,59 @@ def cmd_devices(args) -> int:
     return ReturnCode.SUCCESS
 
 
+def cmd_solve(args) -> int:
+    """Iterative solve / eigen driver — the production-use layer the
+    reference lacks entirely (its drivers run one SpMV and exit,
+    ``coo.c:193-199``).  The whole Krylov loop compiles as ONE device
+    program around the format's SpMV kernel (``spmv_tpu.solve``)."""
+    import spmv_tpu
+    from spmv_tpu import solve
+
+    try:
+        info, rows, cols, vals = _load(args)
+    except Exception as e:
+        print(f"error reading {args.matrix}: {e}", file=sys.stderr)
+        return ReturnCode.FILE_ERROR
+    if info.nrows != info.ncols:
+        print(f"solve requires a square matrix, got "
+              f"{info.nrows}x{info.ncols}", file=sys.stderr)
+        return ReturnCode.OTHER_ERROR
+    try:
+        a = spmv_tpu.from_coo(args.format, info.nrows, info.ncols,
+                              rows, cols, vals)
+    except Exception as e:
+        print(f"{args.format}: {type(e).__name__}: {e}", file=sys.stderr)
+        return ReturnCode.PROGRAM_ERROR
+
+    import time
+
+    if args.solver == "power":
+        t0 = time.perf_counter()
+        lam, v = solve.power_iteration(a, iters=args.maxiter)
+        dt = time.perf_counter() - t0
+        print(f"power iteration: |lambda_max| ~= {lam:.6e} "
+              f"({args.maxiter} iterations, {dt*1e3:.1f} ms)")
+        return ReturnCode.SUCCESS
+
+    b = _make_x(args.b, info.nrows, args.seed)
+    fn = solve.cg if args.solver == "cg" else solve.bicgstab
+    t0 = time.perf_counter()
+    x, iters, res = fn(a, b, tol=args.tol, maxiter=args.maxiter)
+    dt = time.perf_counter() - t0
+    # residual recomputed independently in fp64 (host oracle)
+    from spmv_tpu.oracle import golden_spmv
+
+    r64 = golden_spmv(info.nrows, rows, cols, vals,
+                      np.asarray(x, np.float64))
+    rel = float(np.linalg.norm(r64 - b) / max(np.linalg.norm(b), 1e-30))
+    converged = iters < args.maxiter or rel <= args.tol * 10
+    print(f"{args.solver}: {iters} iterations, {dt*1e3:.1f} ms, "
+          f"device residual {res:.3e}, fp64 relative residual {rel:.3e}"
+          f" ({'converged' if converged else 'NOT converged'})")
+    return (ReturnCode.SUCCESS if converged
+            else ReturnCode.VALIDATION_FAILED)
+
+
 def cmd_info(args) -> int:
     try:
         info, rows, cols, vals = _load(args)
@@ -424,6 +477,23 @@ def main(argv=None) -> int:
                    help="directory for a jax.profiler trace of the bench")
     b.add_argument("--json", default="")
     b.set_defaults(fn=cmd_bench)
+
+    s = sub.add_parser("solve", help="iterative solve (CG/BiCGSTAB) or "
+                                     "power iteration around the SpMV "
+                                     "kernel")
+    common(s)
+    # BSR's block-dense container is SpMM-shaped, not jit-composable into
+    # the Krylov loop — every other format solves
+    s.add_argument("--format", default="csr", choices=ALL_FORMATS)
+    s.add_argument("--solver", default="bicgstab",
+                   choices=["cg", "bicgstab", "power"],
+                   help="cg assumes SPD; bicgstab handles general square")
+    s.add_argument("--b", default="random", choices=["index", "random"],
+                   help="right-hand side")
+    s.add_argument("--tol", type=float, default=1e-5)
+    s.add_argument("--maxiter", type=int, default=1000)
+    s.add_argument("--seed", type=int, default=0)
+    s.set_defaults(fn=cmd_solve)
 
     i = sub.add_parser("info", help="matrix statistics")
     common(i)

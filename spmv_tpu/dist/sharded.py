@@ -259,8 +259,9 @@ class RowShardedSpmv:
             return
         if self.x2 and format == "hyb":
             raise NotImplementedError(
-                "f32x2 covers the five reference formats "
-                "(csr/coo/cmrs/ell/sell); HYB stays fp32")
+                "sharded f32x2 covers the five reference formats "
+                "(csr/coo/cmrs/ell/sell); single-chip f32x2 HYB is "
+                "X2Matrix.from_coo('hyb', ...)")
         if self.x2 and not set(fmt_kwargs) <= _X2_SHARD_KWARGS:
             raise ValueError(
                 f"f32x2 sharding honors {sorted(_X2_SHARD_KWARGS)}; got "
@@ -761,8 +762,9 @@ class ColShardedSpmv:
                 "('bsr', ...) or shard csr/coo/cmrs/ell/sell/hyb")
         if self.x2 and format == "hyb":
             raise NotImplementedError(
-                "f32x2 covers the five reference formats "
-                "(csr/coo/cmrs/ell/sell); HYB stays fp32")
+                "sharded f32x2 covers the five reference formats "
+                "(csr/coo/cmrs/ell/sell); single-chip f32x2 HYB is "
+                "X2Matrix.from_coo('hyb', ...)")
         if self.x2 and not set(fmt_kwargs) <= _X2_SHARD_KWARGS:
             raise ValueError(
                 f"f32x2 sharding honors {sorted(_X2_SHARD_KWARGS)}; got "

@@ -34,6 +34,11 @@ def _operator(a):
     (DESIGN.md fact 6).  Dist containers route through their
     ``_matvec_traced`` hook; single-chip containers through
     ``padded_matvec``."""
+    if not hasattr(a, "_matvec_traced") and not hasattr(a, "padded_matvec"):
+        raise TypeError(
+            f"solve requires a jit-composable container (padded_matvec or "
+            f"_matvec_traced); {type(a).__name__} has neither — use "
+            f"csr/coo/cmrs/ell/sell/hyb")
     if hasattr(a, "_matvec_traced"):  # Row/ColShardedSpmv
         leaves = tuple(a.arrays.values())
 

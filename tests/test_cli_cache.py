@@ -125,3 +125,41 @@ def test_cli_run_rhs_on_matvec_format(mtx, capsys):
     out = capsys.readouterr().out
     assert rc == ReturnCode.SUCCESS
     assert "2 right-hand sides" in out
+
+
+@pytest.fixture
+def spd_mtx(tmp_path):
+    """A small SPD matrix on disk (A·Aᵀ + n·I of a band matrix)."""
+    info, r, c, v = synth.synthetic_cant(n=200, avg_nnz_per_row=5,
+                                         bandwidth=20, seed=6)
+    A = np.zeros((info.nrows, info.ncols))
+    A[r, c] = v
+    S = A @ A.T + info.nrows * np.eye(info.nrows)
+    sr, sc = np.nonzero(S)
+    p = tmp_path / "spd.mtx"
+    mmio.write_coo(str(p), info.nrows, info.nrows, sr, sc, S[sr, sc])
+    return str(p)
+
+
+@pytest.mark.parametrize("solver", ["cg", "bicgstab"])
+def test_cli_solve(spd_mtx, solver, capsys):
+    rc = main(["solve", "--solver", solver, "--format", "csr",
+               "--matrix", spd_mtx, "--tol", "1e-5"])
+    out = capsys.readouterr().out
+    assert rc == ReturnCode.SUCCESS, out
+    assert "converged" in out and "NOT converged" not in out
+
+
+def test_cli_solve_power(spd_mtx, capsys):
+    rc = main(["solve", "--solver", "power", "--format", "csr",
+               "--matrix", spd_mtx, "--maxiter", "50"])
+    out = capsys.readouterr().out
+    assert rc == ReturnCode.SUCCESS
+    assert "lambda_max" in out
+
+
+def test_cli_solve_rejects_rectangular(tmp_path, capsys):
+    p = tmp_path / "rect.mtx"
+    mmio.write_coo(str(p), 4, 6, [0, 3], [1, 5], [1.0, 2.0])
+    rc = main(["solve", "--matrix", str(p)])
+    assert rc == ReturnCode.OTHER_ERROR
