@@ -116,6 +116,14 @@ class CMRSMatrix:
     def nstrips(self) -> int:
         return self.strip_ptr.size - 1
 
+    def to_coo(self) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """``(rows, cols, vals)`` with global rows reconstructed from the
+        strip arrays (``rows = strip·height + row_in_strip``)."""
+        strip_of = np.repeat(np.arange(self.nstrips, dtype=np.int64),
+                             np.diff(self.strip_ptr))
+        rows = strip_of * self.height + self.row_in_strip.astype(np.int64)
+        return rows, np.asarray(self.cols, np.int64), np.asarray(self.vals)
+
     def padded_matvec(self, x2d):
         return segmented_spmv(self.dev, x2d)
 

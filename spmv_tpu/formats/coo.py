@@ -71,6 +71,13 @@ class COOMatrix:
     def nnz(self) -> int:
         return self.rows.size
 
+    def to_coo(self) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """``(rows, cols, vals)`` triplets in the original input order
+        (duplicates preserved — the device plan sums them, so the triplets
+        and the operator agree)."""
+        return (np.asarray(self.rows, np.int64),
+                np.asarray(self.cols, np.int64), np.asarray(self.vals))
+
     # jit-composable padded form -------------------------------------------------
     def padded_matvec(self, x2d):
         return segmented_spmv(self.dev, x2d)

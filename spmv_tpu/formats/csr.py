@@ -82,6 +82,12 @@ class CSRMatrix:
     def nnz(self) -> int:
         return self.cols.size
 
+    def to_coo(self) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """``(rows, cols, vals)`` triplets in CSR (row-major) order."""
+        rows = np.repeat(np.arange(self.nrows, dtype=np.int64),
+                         np.diff(self.ptr))
+        return rows, np.asarray(self.cols, np.int64), np.asarray(self.vals)
+
     def padded_matvec(self, x2d):
         return segmented_spmv(self.dev, x2d)
 
