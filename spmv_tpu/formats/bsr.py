@@ -94,6 +94,21 @@ class BSRMatrix:
             tile_stp=jnp.asarray(tile_stp),
         )
 
+    def to_coo(self) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """``(rows, cols, vals)`` reconstructed from the dense tiles.
+        Lossy by the format's nature: explicitly-stored zeros vanish
+        (a zero tile slot is padding) and duplicate inputs arrive summed
+        — the triplets reproduce the *operator*, not the input list."""
+        tiles = np.asarray(self.tiles)
+        t, rr, cc = np.nonzero(tiles)
+        if self.nnz == 0:
+            z = np.zeros(0, np.int64)
+            return z, z.copy(), np.zeros(0)
+        blk = np.asarray(self.tile_blk, np.int64)[t]
+        stp = np.asarray(self.tile_stp, np.int64)[t]
+        return (blk * LANES + rr, stp * LANES + cc,
+                tiles[t, rr, cc].astype(np.float64))
+
     def matmat(self, X):
         """Y = A @ X for X of shape (ncols, R)."""
         X = jnp.asarray(X, jnp.float32)

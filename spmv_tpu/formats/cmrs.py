@@ -122,7 +122,8 @@ class CMRSMatrix:
         strip_of = np.repeat(np.arange(self.nstrips, dtype=np.int64),
                              np.diff(self.strip_ptr))
         rows = strip_of * self.height + self.row_in_strip.astype(np.int64)
-        return rows, np.asarray(self.cols, np.int64), np.asarray(self.vals)
+        return (rows, np.array(self.cols, np.int64, copy=True),
+                np.array(self.vals, copy=True))
 
     def padded_matvec(self, x2d):
         return segmented_spmv(self.dev, x2d)

@@ -74,9 +74,13 @@ class COOMatrix:
     def to_coo(self) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         """``(rows, cols, vals)`` triplets in the original input order
         (duplicates preserved — the device plan sums them, so the triplets
-        and the operator agree)."""
-        return (np.asarray(self.rows, np.int64),
-                np.asarray(self.cols, np.int64), np.asarray(self.vals))
+        and the operator agree).  Always fresh copies: ``np.asarray`` would
+        alias the container's internal arrays when the dtype already
+        matches, and a caller mutating them would silently desync the host
+        triplets from the device plan."""
+        return (np.array(self.rows, np.int64, copy=True),
+                np.array(self.cols, np.int64, copy=True),
+                np.array(self.vals, copy=True))
 
     # jit-composable padded form -------------------------------------------------
     def padded_matvec(self, x2d):

@@ -83,10 +83,12 @@ class CSRMatrix:
         return self.cols.size
 
     def to_coo(self) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-        """``(rows, cols, vals)`` triplets in CSR (row-major) order."""
+        """``(rows, cols, vals)`` triplets in CSR (row-major) order.
+        Fresh copies — mutating them cannot desync the device plan."""
         rows = np.repeat(np.arange(self.nrows, dtype=np.int64),
                          np.diff(self.ptr))
-        return rows, np.asarray(self.cols, np.int64), np.asarray(self.vals)
+        return (rows, np.array(self.cols, np.int64, copy=True),
+                np.array(self.vals, copy=True))
 
     def padded_matvec(self, x2d):
         return segmented_spmv(self.dev, x2d)

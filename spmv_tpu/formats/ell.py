@@ -129,6 +129,16 @@ class EllMatrix:
         r, _ = np.nonzero(mask)
         return cls.from_coo(nrows, ncols, r, cols[mask], data[mask], **kwargs)
 
+    def to_coo(self) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """``(rows, cols, vals)`` triplets in (row, col) order — fresh
+        copies, part of every format's shared accessor surface."""
+        if self._rows is None:
+            z = np.zeros(0, np.int64)
+            return z, z.copy(), np.zeros(0)
+        return (np.array(self._rows, np.int64, copy=True),
+                np.array(self._cols, np.int64, copy=True),
+                np.array(self._vals, copy=True))
+
     def ell_arrays(self) -> tuple[np.ndarray, np.ndarray]:
         """The classical row-major (nrows, K) ``(data, cols)`` arrays
         (``ell.c:121-158``), zero-padded (fixing the uninitialized-pad bug

@@ -41,6 +41,11 @@ class HybMatrix:
     dev_spill: DevSeg | None = field(repr=False, default=None)
     plan: object = field(repr=False, default=None)  # PanelPlan
     spill_plan: object = field(repr=False, default=None)  # SegPlan
+    # triplets in (block, stripe, row, col) order — the shared to_coo
+    # accessor surface (the split mask alone cannot reconstruct them)
+    _rows: np.ndarray = field(repr=False, default=None)
+    _cols: np.ndarray = field(repr=False, default=None)
+    _vals: np.ndarray = field(repr=False, default=None)
 
     @classmethod
     def from_coo(
@@ -81,7 +86,19 @@ class HybMatrix:
             panel_nnz=int(keep.sum()), spill_nnz=int((~keep).sum()),
             dev=DevPanel.from_plan(plan), dev_spill=dev_spill,
             plan=plan, spill_plan=spill_plan,
+            _rows=r, _cols=c.astype(np.int32), _vals=v,
         )
+
+    def to_coo(self) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """``(rows, cols, vals)`` triplets in (block, stripe, row, col)
+        order — fresh copies, part of every format's shared accessor
+        surface (panel and spill elements interleave back together)."""
+        if self._rows is None:
+            z = np.zeros(0, np.int64)
+            return z, z.copy(), np.zeros(0)
+        return (np.array(self._rows, np.int64, copy=True),
+                np.array(self._cols, np.int64, copy=True),
+                np.array(self._vals, copy=True))
 
     def padded_matvec(self, x2d):
         if self.dev_spill is None:

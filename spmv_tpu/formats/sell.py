@@ -270,6 +270,17 @@ class SellMatrix:
             colsa[pos] = self._cols[order]
         return slice_ptr, data, colsa
 
+    def to_coo(self) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """``(rows, cols, vals)`` triplets with ORIGINAL row ids (the σ
+        relabeling undone via ``perm``) — fresh copies, part of every
+        format's shared accessor surface."""
+        if self._rows_sorted is None:
+            z = np.zeros(0, np.int64)
+            return z, z.copy(), np.zeros(0)
+        rows = np.asarray(self._perm, np.int64)[self._rows_sorted]
+        return (rows, np.array(self._cols, np.int64, copy=True),
+                np.array(self._vals, copy=True))
+
     @property
     def perm(self) -> np.ndarray:
         """sorted position → original row (identity when unsorted)."""

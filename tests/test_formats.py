@@ -384,3 +384,77 @@ def test_fused_declined_when_vectors_fill_vmem():
     small = spmv_tpu.from_coo("csr", 1000, 1000, np.array([0, 999]),
                               np.array([0, 999]), np.array([1.0, 2.0]))
     assert small.dev.fused
+
+
+# ---------------------------------------------------------------- to_coo
+
+ALL_FORMATS = FORMATS + ["bsr"]
+
+
+def _dense_from_triplets(nrows, ncols, r, c, v):
+    d = np.zeros((nrows, ncols), np.float64)
+    np.add.at(d, (r, c), v)
+    return d
+
+
+@pytest.mark.parametrize("fmt", ALL_FORMATS)
+def test_to_coo_roundtrip(fmt):
+    """from_coo -> to_coo -> dense equals the input dense operator, for
+    every format (the shared accessor surface — round-4 advisor item).
+    BSR stores f32 tiles, so its values round-trip at f32 precision."""
+    info, r, c, v = synth.random_coo(300, 260, 2500, seed=17)
+    a = spmv_tpu.from_coo(fmt, info.nrows, info.ncols, r, c, v)
+    r2, c2, v2 = a.to_coo()
+    atol = 1e-6 if fmt == "bsr" else 1e-12
+    np.testing.assert_allclose(
+        _dense_from_triplets(info.nrows, info.ncols, r2, c2, v2),
+        _dense_from_triplets(info.nrows, info.ncols, r, c, v),
+        rtol=0, atol=atol)
+
+
+@pytest.mark.parametrize("fmt", ALL_FORMATS)
+def test_to_coo_roundtrip_duplicates(fmt):
+    """Duplicate COO input entries: the reconstructed operator must match
+    the duplicate-summed dense (BSR/intermediate plans sum them)."""
+    info, r, c, v = synth.random_coo(64, 64, 500, seed=23,
+                                     allow_duplicates=True)
+    a = spmv_tpu.from_coo(fmt, info.nrows, info.ncols, r, c, v)
+    r2, c2, v2 = a.to_coo()
+    atol = 1e-6 if fmt == "bsr" else 1e-12
+    np.testing.assert_allclose(
+        _dense_from_triplets(info.nrows, info.ncols, r2, c2, v2),
+        _dense_from_triplets(info.nrows, info.ncols, r, c, v),
+        rtol=0, atol=atol)
+
+
+def test_to_coo_from_cmrs_ingest():
+    """to_coo round-trips through the classical CMRS ingest path too."""
+    from spmv_tpu.formats.cmrs import CMRSMatrix
+
+    info, r, c, v = synth.random_coo(40, 40, 300, seed=5)
+    a = spmv_tpu.from_coo("cmrs", info.nrows, info.ncols, r, c, v)
+    b = CMRSMatrix.from_cmrs(info.nrows, info.ncols, a.strip_ptr,
+                             a.row_in_strip, a.cols, a.vals,
+                             height=a.height)
+    r2, c2, v2 = b.to_coo()
+    np.testing.assert_allclose(
+        _dense_from_triplets(info.nrows, info.ncols, r2, c2, v2),
+        _dense_from_triplets(info.nrows, info.ncols, r, c, v),
+        rtol=0, atol=1e-12)
+
+
+def test_to_coo_returns_copies():
+    """Mutating the returned triplets must not desync the container's
+    host state from the device plan (round-4 advisor item)."""
+    info, r, c, v = synth.random_coo(50, 50, 200, seed=2)
+    for fmt in ALL_FORMATS:
+        a = spmv_tpu.from_coo(fmt, info.nrows, info.ncols, r, c, v)
+        r2, c2, v2 = a.to_coo()
+        before = (r2.copy(), c2.copy(), v2.copy())
+        r2[:] = 0
+        c2[:] = 0
+        v2[:] = 0.0
+        r3, c3, v3 = a.to_coo()
+        assert np.array_equal(r3, before[0]), fmt
+        assert np.array_equal(c3, before[1]), fmt
+        assert np.array_equal(v3, before[2]), fmt
