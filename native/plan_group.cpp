@@ -26,7 +26,7 @@ inline int64_t mx(int64_t a, int64_t b) { return a < b ? b : a; }
 
 extern "C" {
 
-int64_t spmv_plan_abi_version() { return 3; }
+int64_t spmv_plan_abi_version() { return 4; }
 
 // Dense per-run slot packing with at most ONE segment boundary per quad
 // slot (the in-kernel prefix-difference correction ``c2`` can subtract a
@@ -110,6 +110,140 @@ int64_t spmv_emit_rows(const int64_t* blk, const int64_t* stp, int64_t n,
     emit(b, s);
   }
   return overflow ? -t : t;
+}
+
+// Pooled per-lane-hi packing (round 5).  Elements arrive sorted by
+// (pool, lid, stripe, col) where pool = (128-row block, aligned 8-stripe
+// window).  Rows of one pool may mix the window's stripes because the
+// kernels' two-step x-gather reads ``hi`` per LANE (engines.py
+// _packed_products: T[r,c] = win[hi[r,c], c] then a lane gather at lo) —
+// exactness only needs the per-row map lane→stripe to be a function.
+// The walk places each element into the current open row when its lo is
+// unmapped or mapped to the same stripe, defers conflicts to a fresh
+// pass (fresh rows keep the per-row lid order intact), and closes rows
+// at capacity pack·127 element slots.  Segment (lid) transitions follow
+// spmv_pack_run_slots' quad rules; pieces of one lid across stripes
+// merge into a single gidx segment (they sum into the same y row).
+//
+// Outputs per element: erow (global sublane-row id), slot (0..pack·127-1),
+// msb (element lies in a quad shared with the previous segment's end —
+// the kernel's c2 flag).  Outputs per emitted row: row_pool (pool id).
+// Returns the emitted row count R, or -R when it exceeds row_cap.
+int64_t spmv_pool_pack(const int64_t* pool_id, const int64_t* lid,
+                       const int64_t* stp, const int64_t* lo, int64_t n,
+                       int64_t pack, int64_t* erow, int64_t* slot,
+                       uint8_t* msb, int64_t* row_pool, int64_t row_cap) {
+  constexpr int64_t kRowCap = kLanes - 1;  // quads per sublane row
+  const int64_t cap = pack * kRowCap;     // element slots per row
+  int64_t r = 0;  // emitted rows
+  bool overflow = false;
+
+  int64_t map_stripe[kLanes];
+  int64_t map_epoch[kLanes];
+  for (int64_t i = 0; i < kLanes; ++i) map_epoch[i] = -1;
+  int64_t epoch = 0;
+
+  int64_t* defer = new int64_t[n > 0 ? n : 1];
+  int64_t* defer2 = new int64_t[n > 0 ? n : 1];
+  int64_t* good = new int64_t[n > 0 ? n : 1];
+
+  int64_t a = 0;
+  while (a < n) {
+    int64_t b = a;
+    while (b < n && pool_id[b] == pool_id[a]) ++b;
+    const int64_t pool = pool_id[a];
+    // pass 0 runs over [a, b); later passes over the defer buffer
+    int64_t cur_n = b - a;
+    bool first_pass = true;
+    while (cur_n > 0) {
+      int64_t ndef = 0;
+      ++epoch;
+      int64_t prev_end = -1;
+      int64_t prev_lid = -1;
+      bool row_open = false;
+      int64_t i = 0;
+      while (i < cur_n) {
+        const int64_t e0 = first_pass ? a + i : defer[i];
+        const int64_t l0 = lid[e0];
+        const int64_t s0 = stp[e0];
+        // piece = maximal run of same (lid, stripe)
+        int64_t j = i;
+        while (j < cur_n) {
+          const int64_t e = first_pass ? a + j : defer[j];
+          if (lid[e] != l0 || stp[e] != s0) break;
+          ++j;
+        }
+        // split good/bad against the map AS OF PIECE START (distinct lo
+        // within a piece and same-stripe updates make the mask static; a
+        // mid-piece row close does not resurrect the piece's bad subset —
+        // matches the vectorized fallback exactly)
+        int64_t m = 0;
+        for (int64_t k = i; k < j; ++k) {
+          const int64_t e = first_pass ? a + k : defer[k];
+          const int64_t L = lo[e];
+          if (map_epoch[L] != epoch || map_stripe[L] == s0) good[m++] = e;
+          else defer2[ndef++] = e;
+        }
+        if (m > 0) {
+          int64_t f = prev_end + 1;
+          if (l0 != prev_lid) {  // segment boundary: quad rules
+            if ((f % pack) &&
+                ((f + m - 1) / pack == prev_end / pack ||
+                 (f / pack) % kRowCap == kRowCap - 1)) {
+              f = (prev_end / pack + 1) * pack;
+            }
+          }
+          // msb marks the new segment's elements in the quad it shares
+          // with the previous segment's end (the kernel's c2 flag)
+          int64_t shared_quad =
+              (l0 != prev_lid && (f % pack) != 0) ? f / pack : -1;
+          for (int64_t k = 0; k < m; ++k) {
+            const int64_t e = good[k];
+            if (f >= cap) {  // close the row, continue in a fresh one
+              if (row_open) {
+                if (r < row_cap) row_pool[r] = pool;
+                else overflow = true;
+                ++r;
+                row_open = false;
+              }
+              ++epoch;
+              f = 0;
+              prev_end = -1;
+              shared_quad = -1;  // fresh row: quad-aligned start
+            }
+            row_open = true;
+            if (!overflow) {
+              erow[e] = r;
+              slot[e] = f;
+              msb[e] = (f / pack == shared_quad) ? 1 : 0;
+            }
+            map_epoch[lo[e]] = epoch;
+            map_stripe[lo[e]] = s0;
+            prev_end = f;
+            ++f;
+          }
+          prev_lid = l0;
+        }
+        i = j;
+      }
+      if (row_open) {
+        if (r < row_cap) row_pool[r] = pool;
+        else overflow = true;
+        ++r;
+      }
+      // swap defer buffers
+      int64_t* tmp = defer;
+      defer = defer2;
+      defer2 = tmp;
+      cur_n = ndef;
+      first_pass = false;
+    }
+    a = b;
+  }
+  delete[] defer;
+  delete[] defer2;
+  delete[] good;
+  return overflow ? -r : r;
 }
 
 }  // extern "C"

@@ -401,6 +401,7 @@ def build_seg_plan(
     chunk: int = DEFAULT_CHUNK,
     dtype=np.float32,
     pack: int | None = None,
+    pool: bool | None = None,
 ) -> SegPlan:
     """Pack COO triplets (any order; duplicates sum in-kernel) into the
     P-packed stripe-pure segmented stream (see ``SegPlan``).
@@ -412,6 +413,13 @@ def build_seg_plan(
     The only alignment pad: a segment that would end in its predecessor's
     end quad starts at the next quad instead (``_pack_run_slots``).
     ``pack=None`` picks P from the run/segment histogram (``_pick_pack``).
+
+    ``pool`` selects the pooled per-lane-hi layout (``formats.pool``):
+    rows of one (block, 8-stripe window) pool share sublane rows, removing
+    the per-run row quantization on band/FEM matrices (measured −17 %
+    quads on synthetic cant at P=4).  ``None`` prices both layouts and
+    keeps the cheaper; when pooling is picked and ``pack`` was given, the
+    caller's P wins (the dist layer unifies P across shards).
     """
     from spmv_tpu import cache as _cache
 
@@ -421,10 +429,30 @@ def build_seg_plan(
     nnz = rows.size
     if nnz == 0:
         return _empty_seg(nrows, ncols, chunk, pack or 1)
-    hit = _cache.plan_lookup("seg4", rows, cols, vals, nrows, ncols,
-                             (chunk, pack or 0), SegPlan)
+    hit = _cache.plan_lookup("seg5", rows, cols, vals, nrows, ncols,
+                             (chunk, pack or 0, pool), SegPlan)
     if hit is not None:
         return hit
+
+    if pool is None or pool:
+        from spmv_tpu.formats.pool import build_seg_plan_pooled, price_layouts
+
+        if pool:
+            from spmv_tpu.formats.pool import pick_pack_pooled
+
+            use_pool = True
+            P_pool = pack if pack is not None else pick_pack_pooled(
+                rows, cols, nrows, ncols)
+        else:
+            use_pool, P_pool = price_layouts(rows, cols, nrows, ncols)
+        if use_pool:
+            plan = build_seg_plan_pooled(
+                rows, cols, vals, nrows, ncols, chunk=chunk, dtype=dtype,
+                pack=pack if pack is not None else P_pool)
+            _cache.plan_store("seg5", rows, cols, vals, nrows, ncols,
+                              (chunk, pack or 0, pool), plan)
+            return plan
+
     S = x_stripes(ncols)
 
     blk = rows >> 7
@@ -510,8 +538,8 @@ def build_seg_plan(
         row_block=row_blk, sub_base=sub_base,
         nrows=nrows, ncols=ncols, nnz=nnz, chunk=chunk, pack=P,
     )
-    _cache.plan_store("seg4", rows, cols, vals, nrows, ncols,
-                      (chunk, pack or 0), plan)
+    _cache.plan_store("seg5", rows, cols, vals, nrows, ncols,
+                      (chunk, pack or 0, pool), plan)
     return plan
 
 

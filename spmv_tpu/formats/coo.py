@@ -47,6 +47,7 @@ class COOMatrix:
         *,
         chunk: int = DEFAULT_CHUNK,
         pack: int | None = None,
+        pool: bool | None = None,
     ) -> "COOMatrix":
         rows = np.asarray(rows)
         cols = np.asarray(cols)
@@ -55,7 +56,7 @@ class COOMatrix:
         order = np.lexsort((cols, rows))
         plan = build_seg_plan(
             rows[order], cols[order], vals[order], nrows, ncols, chunk=chunk,
-            pack=pack,
+            pack=pack, pool=pool,
         )
         return cls(
             nrows=nrows,

@@ -13,7 +13,7 @@ import subprocess
 
 import numpy as np
 
-__all__ = ["available", "emit_rows", "pack_run_slots"]
+__all__ = ["available", "emit_rows", "pack_run_slots", "pool_pack"]
 
 _NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(
     os.path.dirname(os.path.abspath(__file__)))), "native")
@@ -46,7 +46,7 @@ def _load():
     try:
         lib = ctypes.CDLL(_SO)
         lib.spmv_plan_abi_version.restype = ctypes.c_int64
-        if lib.spmv_plan_abi_version() != 3:
+        if lib.spmv_plan_abi_version() != 4:
             return None
         lib.spmv_emit_rows.restype = ctypes.c_int64
         lib.spmv_emit_rows.argtypes = [
@@ -60,6 +60,15 @@ def _load():
             ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
             ctypes.c_int64, ctypes.c_int64,
             ctypes.POINTER(ctypes.c_int64),
+        ]
+        lib.spmv_pool_pack.restype = ctypes.c_int64
+        lib.spmv_pool_pack.argtypes = [
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64,
         ]
         _lib = lib
     except OSError:
@@ -97,6 +106,44 @@ def emit_rows(subrow_blk: np.ndarray, subrow_stp: np.ndarray, wcap: int):
         if t >= 0:
             return row_of[:n], out_blk[:t], out_stp[:t]
         cap = -t  # exact required capacity; one retry always suffices
+    return None  # pragma: no cover
+
+
+def pool_pack(pool_id: np.ndarray, lid: np.ndarray, stp: np.ndarray,
+              lo: np.ndarray, pack: int):
+    """Native pooled per-lane-hi packing walk (see ``formats.pool`` for
+    the semantics and the NumPy fallback).  Elements must arrive sorted
+    by (pool, lid, stripe, col).  Returns ``(erow, slot, msb, row_pool)``
+    or None when the library is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    pid = np.ascontiguousarray(pool_id, dtype=np.int64)
+    lidv = np.ascontiguousarray(lid, dtype=np.int64)
+    stpv = np.ascontiguousarray(stp, dtype=np.int64)
+    lov = np.ascontiguousarray(lo, dtype=np.int64)
+    n = pid.size
+    erow = np.empty(max(n, 1), dtype=np.int64)
+    slot = np.empty(max(n, 1), dtype=np.int64)
+    msb = np.empty(max(n, 1), dtype=np.uint8)
+    cap = n + 1024
+    for _ in range(2):
+        row_pool = np.empty(cap, dtype=np.int64)
+        r = lib.spmv_pool_pack(
+            pid.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            lidv.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            stpv.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            lov.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            n, pack,
+            erow.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            slot.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            msb.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            row_pool.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            cap,
+        )
+        if r >= 0:
+            return erow[:n], slot[:n], msb[:n], row_pool[:r]
+        cap = -r  # exact required capacity; one retry always suffices
     return None  # pragma: no cover
 
 
