@@ -260,6 +260,51 @@ def main():
         print(f"f32x2 suite: FAILED {type(e).__name__}: {e}",
               file=sys.stderr)
 
+    # Symmetric triangle storage (round-5 verdict item 6): the symmetrized
+    # FEM proxy through sym (two passes on the stored triangle) vs the
+    # expanded csr plan, interleaved.  The honest expectation (sym.py
+    # docstring): host triplets halve; device bytes are ~neutral (both
+    # passes stream their own planes) — recorded either way.
+    sym_row = None
+    try:
+        import numpy as _np
+
+        keep = rows >= cols
+        tr, tc, tv = rows[keep], cols[keep], vals[keep]
+        s = tr > tc
+        er = _np.concatenate([tr, tc[s]])
+        ec = _np.concatenate([tc, tr[s]])
+        ev = _np.concatenate([tv, tv[s]])
+        sobjs = {
+            "sym_tri": spmv_tpu.from_coo("sym", info.nrows, info.ncols,
+                                         tr, tc, tv),
+            "sym_expanded_csr": spmv_tpu.from_coo("csr", info.nrows,
+                                                  info.ncols, er, ec, ev),
+        }
+        sres, _sbw = bench_formats_interleaved(
+            sobjs, probe=True, hbm_bw=bw, iters_a=100, iters_b=500,
+            repeats=10)
+        for k, rr in sres.items():
+            results[f"__{k}__"] = rr.to_dict()
+            print(f"{k}: {rr.ms_per_spmv:7.3f} ms  {rr.gnnz_per_s:6.2f} "
+                  f"Gnnz/s  ({rr.roofline_pct:4.1f}% roofline, "
+                  f"{rr.bytes_per_nnz:.2f} B/nnz)", file=sys.stderr)
+        sym_row = {
+            "gnnz_per_s": round(sres["sym_tri"].gnnz_per_s, 3),
+            "expanded_csr_gnnz_per_s": round(
+                sres["sym_expanded_csr"].gnnz_per_s, 3),
+            "host_triplets_stored": int(tr.size),
+            "host_triplets_expanded": int(er.size),
+            "device_bytes_tri": int(sres["sym_tri"].bytes_per_nnz
+                                    * sres["sym_tri"].nnz),
+            "device_bytes_expanded": int(
+                sres["sym_expanded_csr"].bytes_per_nnz
+                * sres["sym_expanded_csr"].nnz),
+        }
+    except Exception as e:  # pragma: no cover
+        print(f"symmetric suite: FAILED {type(e).__name__}: {e}",
+              file=sys.stderr)
+
     # Fused multi-RHS (DESIGN.md fact 12): one plan-stream pass for R=4
     # right-hand sides on the cant-scale csr — recorded so the artifact
     # carries the measured per-vector win over the column loop.
@@ -497,6 +542,7 @@ def main():
         "big_tiled_gnnz_per_s": big_row,
         "spmm_r4_gnnzvec_per_s": spmm_row,
         "bsr_spmm_r32": bsr_row,
+        "symmetric_storage": sym_row,
         "x2_csr": x2_row,
         "weak_scaling": ws_row,
         "simulated_sweep_ok": (sim_row or {}).get("all_points_ran"),

@@ -16,6 +16,7 @@ from spmv_tpu.formats.csr import CSRMatrix
 from spmv_tpu.formats.ell import EllMatrix
 from spmv_tpu.formats.hyb import HybMatrix
 from spmv_tpu.formats.sell import SellMatrix
+from spmv_tpu.sym import SymmetricMatrix
 
 __all__ = ["FORMATS", "from_coo", "load", "spmv", "spmm"]
 
@@ -28,6 +29,10 @@ FORMATS = {
     "cmrs": CMRSMatrix,
     "hyb": HybMatrix,  # framework extension: ELL panel + segmented spill
     "bsr": BSRMatrix,  # framework extension: 128x128 block-dense SpMM
+    # framework extension: symmetric triangle storage, y = (L+D)x + L^T x
+    # (input triplets are the STORED triangle, MatrixMarket symmetric
+    # semantics — spmv_tpu.load(..., expand_symmetry=False) routes here)
+    "sym": SymmetricMatrix,
 }
 
 
@@ -54,8 +59,14 @@ def load(path: str, format: str = "csr", *, synth: dict | None = None, **kwargs)
     from spmv_tpu.big import TiledSpmv, fits_single_kernel
     from spmv_tpu.io.mmio import read_path_or_synthesize
 
-    info, rows, cols, vals = read_path_or_synthesize(path, **(synth or {}))
+    # the sym container wants the STORED triangle, not the expansion
+    info, rows, cols, vals = read_path_or_synthesize(
+        path, expand_symmetry=(format.lower() != "sym"), **(synth or {}))
     if not fits_single_kernel(info.nrows, info.ncols):
+        if format.lower() == "sym":
+            raise NotImplementedError(
+                "symmetric triangle storage is a single-kernel container; "
+                "use TiledSpmv/dist on the expanded form for this size")
         return TiledSpmv(format, info.nrows, info.ncols, rows, cols, vals,
                          **kwargs)
     return from_coo(format, info.nrows, info.ncols, rows, cols, vals, **kwargs)

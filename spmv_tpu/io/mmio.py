@@ -427,15 +427,18 @@ def is_real_mtx(path: str) -> bool:
     return not head.startswith(b"version https://git-lfs")
 
 
-def read_path_or_synthesize(path: str, **synth_kwargs):
+def read_path_or_synthesize(path: str, expand_symmetry: bool = True,
+                            **synth_kwargs):
     """Load ``path`` if it is a real .mtx; if it is a git-LFS pointer (as the
     bundled ``databases/cant.mtx`` is, reference ``databases/cant.mtx:1-3``)
-    or missing, synthesize a cant-like matrix instead."""
+    or missing, synthesize a cant-like matrix instead.
+    ``expand_symmetry=False`` keeps symmetric storage as its triangle
+    (the ``sym`` format's input form)."""
     from spmv_tpu import synth
 
     if os.path.exists(path):
         with open(path, "rb") as f:
             head = f.read(64)
         if not head.startswith(b"version https://git-lfs"):
-            return read_coo(path)
+            return read_coo(path, expand_symmetry=expand_symmetry)
     return synth.synthetic_cant(**synth_kwargs)
