@@ -75,6 +75,75 @@ def main() -> int:
                 ok_all = False
                 print(f"{cname:10s} {fmt:5s}: FAILED {e}", file=sys.stderr)
 
+    # round-5 pooled per-lane-hi layout, forced on every class × pack
+    # (the pricer would keep pooling to the band class; forcing it proves
+    # the compiled gather handles mixed-stripe rows on all classes)
+    from spmv_tpu.formats.base import build_seg_plan
+    from spmv_tpu.device import DevSeg, x_to_table, y_from_padded
+    from spmv_tpu.kernels.engines import segmented_spmv
+    from spmv_tpu.oracle import seg_engine_scale
+
+    for cname, (info, r, c, v) in cases.items():
+        x = np.random.default_rng(4).standard_normal(
+            info.ncols).astype(np.float32)
+        expected = golden_spmv(info.nrows, r, c, v, x)
+        row_abs = golden_spmv(info.nrows, r, c, np.abs(v), np.abs(x))
+        lengths = np.bincount(r, minlength=info.nrows)
+        tol = engine_rel_tol(int(lengths.max()))
+        for pack in (1, 2, 4):
+            try:
+                plan = build_seg_plan(r, c, v, info.nrows, info.ncols,
+                                      pack=pack, pool=True)
+                dev = DevSeg.from_plan(plan)
+                y = np.asarray(y_from_padded(
+                    segmented_spmv(dev, x_to_table(x, info.ncols)),
+                    info.nrows))
+                rep = check_result(expected, y, tol_abs=1e-5,
+                                   scale=seg_engine_scale(plan, x, row_abs),
+                                   tol_rel=tol)
+                out["checks"].append({
+                    "matrix": cname, "format": f"pooled-P{pack}",
+                    "ok": bool(rep.ok), "max_abs_err": rep.max_abs_err,
+                    "pad": round(plan.padding_ratio, 3)})
+                ok_all &= rep.ok
+                print(f"{cname:10s} pooled-P{pack}: {rep}", file=sys.stderr)
+            except Exception as e:  # noqa: BLE001
+                out["checks"].append({"matrix": cname,
+                                      "format": f"pooled-P{pack}",
+                                      "ok": False, "error": str(e)})
+                ok_all = False
+                print(f"{cname:10s} pooled-P{pack}: FAILED {e}",
+                      file=sys.stderr)
+
+    # round-5 symmetric triangle storage vs the expanded oracle
+    try:
+        info, r, c, v = cases["band"]
+        keep = r >= c
+        tr, tc, tv = r[keep], c[keep], v[keep]
+        s = tr > tc
+        er = np.concatenate([tr, tc[s]])
+        ec = np.concatenate([tc, tr[s]])
+        ev = np.concatenate([tv, tv[s]])
+        x = np.random.default_rng(5).standard_normal(
+            info.ncols).astype(np.float32)
+        a = spmv_tpu.from_coo("sym", info.nrows, info.ncols, tr, tc, tv)
+        rep = check_result(
+            golden_spmv(info.nrows, er, ec, ev, x),
+            np.asarray(a.matvec(x)), tol_abs=1e-5,
+            scale=golden_spmv(info.nrows, er, ec, np.abs(ev), np.abs(x)),
+            tol_rel=engine_rel_tol(
+                int(np.bincount(er, minlength=info.nrows).max())))
+        out["checks"].append({"matrix": "band", "format": "sym",
+                              "ok": bool(rep.ok),
+                              "max_abs_err": rep.max_abs_err})
+        ok_all &= rep.ok
+        print(f"band       sym  : {rep}", file=sys.stderr)
+    except Exception as e:  # noqa: BLE001
+        out["checks"].append({"matrix": "band", "format": "sym",
+                              "ok": False, "error": str(e)})
+        ok_all = False
+        print(f"band       sym  : FAILED {e}", file=sys.stderr)
+
     # f32x2 extended precision at the reference's abs 1e-6 EPSILON
     # (helper_functions.h:11) — the fp64-parity capability rows.
     from spmv_tpu.x2 import X2Matrix
