@@ -14,7 +14,10 @@
 // the engines reduce rows into a y window by the streamed target, so rows
 // of different y blocks share groups freely.
 
+#include <algorithm>
 #include <cstdint>
+#include <deque>
+#include <vector>
 
 namespace {
 constexpr int64_t kSublanes = 8;
@@ -26,7 +29,7 @@ inline int64_t mx(int64_t a, int64_t b) { return a < b ? b : a; }
 
 extern "C" {
 
-int64_t spmv_plan_abi_version() { return 4; }
+int64_t spmv_plan_abi_version() { return 5; }
 
 // Dense per-run slot packing with at most ONE segment boundary per quad
 // slot (the in-kernel prefix-difference correction ``c2`` can subtract a
@@ -243,6 +246,177 @@ int64_t spmv_pool_pack(const int64_t* pool_id, const int64_t* lid,
   delete[] defer;
   delete[] defer2;
   delete[] good;
+  return overflow ? -r : r;
+}
+
+// Two-bank drain-queue packing walk (see spmv_tpu/formats/bank.py for
+// the semantics and the NumPy reference — tests pin exact parity,
+// including the fp-order quirks of the queue splices).  Elements arrive
+// sorted by (pool, lid, stripe, col); pieces are maximal same-(pool,
+// lid, stripe) runs.  Per element writes (erow, slot, msb, bank); per
+// emitted row writes row_pool.  Returns the emitted row count, or its
+// negation when row_cap was too small (caller retries with the exact
+// capacity).
+int64_t spmv_bank_pack(const int64_t* pool_id, const int64_t* lid,
+                       const int64_t* stp, const int64_t* lo, int64_t n,
+                       int64_t pack, int64_t* erow, int64_t* slot,
+                       uint8_t* msb, uint8_t* bank, int64_t* row_pool,
+                       int64_t row_cap) {
+  constexpr int64_t kRowCap = kLanes - 1;  // quads per sublane row
+  const int64_t cap = pack * kRowCap;     // element slots per row
+  int64_t r = 0;
+  bool overflow = false;
+
+  struct Piece {
+    int64_t l0, s0;
+    std::vector<int64_t> idx;  // element indices (global, sorted order)
+  };
+
+  int64_t map_stripe[2][kLanes];
+  int64_t map_epoch[2][kLanes];
+  for (int64_t b = 0; b < 2; ++b)
+    for (int64_t i = 0; i < kLanes; ++i) map_epoch[b][i] = -1;
+  int64_t epoch = 0;
+
+  std::vector<int64_t> good;
+  good.reserve(1024);
+
+  int64_t a = 0;
+  while (a < n) {
+    int64_t b_end = a;
+    while (b_end < n && pool_id[b_end] == pool_id[a]) ++b_end;
+    const int64_t pool = pool_id[a];
+
+    std::deque<Piece> work;
+    for (int64_t i = a; i < b_end;) {
+      int64_t j = i;
+      while (j < b_end && lid[j] == lid[i] && stp[j] == stp[i]) ++j;
+      Piece p;
+      p.l0 = lid[i];
+      p.s0 = stp[i];
+      p.idx.reserve(j - i);
+      for (int64_t k = i; k < j; ++k) p.idx.push_back(k);
+      work.push_back(std::move(p));
+      i = j;
+    }
+    std::vector<Piece> queue;
+
+    ++epoch;
+    int64_t prev_end = -1;
+    int64_t prev_lid = -1;
+    bool row_open = false;
+
+    auto close_row = [&]() {
+      if (row_open) {
+        if (r < row_cap) row_pool[r] = pool;
+        else overflow = true;
+        ++r;
+        row_open = false;
+      }
+      ++epoch;
+      prev_end = -1;
+      prev_lid = -1;
+    };
+
+    while (!work.empty() || !queue.empty()) {
+      if (work.empty()) {  // pool tail: retry the deferred parts
+        close_row();
+        std::stable_sort(queue.begin(), queue.end(),
+                         [](const Piece& x, const Piece& y) {
+                           return x.l0 < y.l0;
+                         });
+        for (auto& q : queue) work.push_back(std::move(q));
+        queue.clear();
+        continue;
+      }
+      Piece cur = std::move(work.front());
+      work.pop_front();
+      const int64_t l0 = cur.l0;
+      const int64_t s0 = cur.s0;
+      good.clear();
+      Piece bad;
+      bad.l0 = l0;
+      bad.s0 = s0;
+      for (int64_t e : cur.idx) {
+        const int64_t L = lo[e];
+        const bool ok0 = map_epoch[0][L] != epoch || map_stripe[0][L] == s0;
+        const bool ok1 = map_epoch[1][L] != epoch || map_stripe[1][L] == s0;
+        if (ok0 || ok1) good.push_back(e);
+        else bad.idx.push_back(e);
+      }
+      if (!bad.idx.empty()) queue.push_back(std::move(bad));
+      int64_t placed = 0;
+      bool did_overflow = false;
+      int64_t of_start = 0;
+      const int64_t m_all = (int64_t)good.size();
+      while (placed < m_all) {
+        int64_t f = prev_end + 1;
+        const int64_t rem = m_all - placed;
+        if (l0 != prev_lid && (f % pack) &&
+            ((f + rem - 1) / pack == prev_end / pack ||
+             (f / pack) % kRowCap == kRowCap - 1)) {
+          f = (prev_end / pack + 1) * pack;
+        }
+        if (f >= cap) {
+          did_overflow = true;
+          of_start = placed;
+          break;
+        }
+        const int64_t shared_quad =
+            (l0 != prev_lid && (f % pack) != 0) ? f / pack : -1;
+        row_open = true;
+        const int64_t take = mn(cap - f, m_all - placed);
+        for (int64_t k = 0; k < take; ++k) {
+          const int64_t e = good[placed + k];
+          const int64_t L = lo[e];
+          const int64_t sl = f + k;
+          if (!overflow) {
+            erow[e] = r;
+            slot[e] = sl;
+            msb[e] = (shared_quad >= 0 && sl / pack == shared_quad) ? 1 : 0;
+            // matched bank first, else bank 0 if free, else bank 1
+            const bool in0 =
+                map_epoch[0][L] == epoch && map_stripe[0][L] == s0;
+            const bool in1 =
+                map_epoch[1][L] == epoch && map_stripe[1][L] == s0;
+            const bool free0 = map_epoch[0][L] != epoch;
+            const bool use1 = !in0 && (in1 || !free0);
+            bank[e] = use1 ? 1 : 0;
+            map_epoch[use1 ? 1 : 0][L] = epoch;
+            map_stripe[use1 ? 1 : 0][L] = s0;
+          } else {
+            const bool in0 =
+                map_epoch[0][L] == epoch && map_stripe[0][L] == s0;
+            const bool free0 = map_epoch[0][L] != epoch;
+            const bool use1 = !in0 && !free0;
+            map_epoch[use1 ? 1 : 0][L] = epoch;
+            map_stripe[use1 ? 1 : 0][L] = s0;
+          }
+        }
+        prev_end = f + take - 1;
+        prev_lid = l0;
+        placed += take;
+      }
+      if (did_overflow) {
+        close_row();
+        Piece restp;
+        restp.l0 = l0;
+        restp.s0 = s0;
+        restp.idx.assign(good.begin() + of_start, good.end());
+        work.push_front(std::move(restp));
+        // splice the queue in front, ascending lid at the deque front
+        // (mirrors the Python reverse-sorted appendleft loop)
+        std::stable_sort(queue.begin(), queue.end(),
+                         [](const Piece& x, const Piece& y) {
+                           return x.l0 > y.l0;
+                         });
+        for (auto& q : queue) work.push_front(std::move(q));
+        queue.clear();
+      }
+    }
+    close_row();
+    a = b_end;
+  }
   return overflow ? -r : r;
 }
 

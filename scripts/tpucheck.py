@@ -115,6 +115,41 @@ def main() -> int:
                 print(f"{cname:10s} pooled-P{pack}: FAILED {e}",
                       file=sys.stderr)
 
+    # round-5 two-bank layout, forced on every class × pack (the pricer
+    # keeps it to large scattered matrices; forcing proves the compiled
+    # second sublane gather + per-plane selects on all classes)
+    for cname, (info, r, c, v) in cases.items():
+        x = np.random.default_rng(4).standard_normal(
+            info.ncols).astype(np.float32)
+        expected = golden_spmv(info.nrows, r, c, v, x)
+        row_abs = golden_spmv(info.nrows, r, c, np.abs(v), np.abs(x))
+        lengths = np.bincount(r, minlength=info.nrows)
+        tol = engine_rel_tol(int(lengths.max()))
+        for pack in (1, 2, 4):
+            try:
+                plan = build_seg_plan(r, c, v, info.nrows, info.ncols,
+                                      pack=pack, bank=True)
+                dev = DevSeg.from_plan(plan)
+                y = np.asarray(y_from_padded(
+                    segmented_spmv(dev, x_to_table(x, info.ncols)),
+                    info.nrows))
+                rep = check_result(expected, y, tol_abs=1e-5,
+                                   scale=seg_engine_scale(plan, x, row_abs),
+                                   tol_rel=tol)
+                out["checks"].append({
+                    "matrix": cname, "format": f"banked-P{pack}",
+                    "ok": bool(rep.ok), "max_abs_err": rep.max_abs_err,
+                    "pad": round(plan.padding_ratio, 3)})
+                ok_all &= rep.ok
+                print(f"{cname:10s} banked-P{pack}: {rep}", file=sys.stderr)
+            except Exception as e:  # noqa: BLE001
+                out["checks"].append({"matrix": cname,
+                                      "format": f"banked-P{pack}",
+                                      "ok": False, "error": str(e)})
+                ok_all = False
+                print(f"{cname:10s} banked-P{pack}: FAILED {e}",
+                      file=sys.stderr)
+
     # round-5 symmetric triangle storage vs the expanded oracle
     try:
         info, r, c, v = cases["band"]

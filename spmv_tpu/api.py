@@ -85,7 +85,7 @@ def _multi_rhs_fits(dev, R: int) -> bool:
     return multi_rhs_fits(
         R, x_table_rows(dev.ncols),
         [(dev.chunk, dev.ns, dev.pack, hasattr(dev, "gidx"), dev.w_rows,
-          dev.out_rows)])
+          dev.out_rows, getattr(dev, "b2", None) is not None)])
 
 
 def _spmm_fused(a, X, R: int):

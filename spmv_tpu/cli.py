@@ -258,9 +258,14 @@ def cmd_bench(args) -> int:
     if args.scaling:
         from spmv_tpu.bench.scaling import weak_scaling_report
 
+        # iters sized for the tunnel's dispatch jitter: the library
+        # default 20/60 ladder once read the 1e-9 s clamp floor on the
+        # D=1 point and printed 500k Gnnz/s (DESIGN.md fact 6) — same
+        # calibration as bench.py's recorded weak-scaling block
         rep = weak_scaling_report(
             format=args.formats if args.formats != "all" else "cmrs",
-            rows_per_device=args.rows_per_device)
+            rows_per_device=args.rows_per_device,
+            iters_a=200, iters_b=1000, repeats=5)
         tag = " (SIMULATED backend; numbers not meaningful)" if rep["simulated"] else ""
         for pt in rep["points"]:
             print(f"D={pt['devices']:3d}: {pt['ms_per_spmv']:7.3f} ms  "

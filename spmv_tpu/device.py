@@ -105,7 +105,7 @@ def _check_fits(nrows: int, ncols: int, x2: bool = False) -> None:
 
 def pick_geometry(tm_rows: int, pack: int = 4, seg: bool = True,
                   nrows: int = 0, ncols: int = 0,
-                  x2: bool = False) -> tuple[int, int]:
+                  x2: bool = False, banked: bool = False) -> tuple[int, int]:
     """(chunk, NS) minimizing superchunk padding among geometries whose
     double-buffered stream blocks fit scoped VMEM next to the resident
     x/y vectors (a 786k-row matrix passed the old vector-only check, then
@@ -117,6 +117,8 @@ def pick_geometry(tm_rows: int, pack: int = 4, seg: bool = True,
     # per-step stream bytes across all arrays, double-buffered:
     # sc·128·(~5P+2 B/quad slot) per superchunk of sc rows
     bpq = (5 * pack + 2) if seg else (5 * pack + 1)
+    if banked:  # the two-bank b2 plane streams too
+        bpq += 1
     if x2:  # double-single: a second f32 value-plane set streams too
         bpq += 4 * pack
 
@@ -233,6 +235,8 @@ def split_packed_arrays(arrays: dict, chunk: int, ns: int, pack: int,
     out["hi"] = _pad_rows(arrays["hi"], tm)
     if seg:
         out["gidx"] = _pad_rows(arrays["gidx"], tm)
+        if arrays.get("b2") is not None:
+            out["b2"] = _pad_rows(arrays["b2"], tm)
     meta, base_w, w_rows, out_rows = window_meta(
         arrays["row_block"], tm, chunk, ns, nrows, w_rows)
     out["meta"] = meta
@@ -274,8 +278,10 @@ def multi_rhs_fits(R: int, x_rows: int, parts) -> bool:
     * scatter epilogue: R·out_rows resident y + the partials block.
     """
     xtab = R * x_rows * LANES * 4
-    for chunk, ns, pack, seg, w_rows, out_rows in parts:
+    for chunk, ns, pack, seg, w_rows, out_rows, *rest in parts:
         bpq = (5 * pack + 2) if seg else (5 * pack + 1)
+        if rest and rest[0]:  # banked: the b2 plane streams too
+            bpq += 1
         blocks = 2 * chunk * ns * LANES * bpq  # double-buffered streams
         pblock = 2 * ns * R * w_rows * LANES * 4
         if xtab + blocks + pblock > _VMEM_LIMIT:
@@ -414,18 +420,26 @@ class DevSeg:
     nnz: int
     # double-single mode: the residual value planes (empty = f32 mode)
     vals_lo: tuple = ()
+    # two-bank layout (``formats.bank``): the combined bank-1 stripe map
+    # + per-plane selector stream; None = single-bank plan.  The treedef
+    # difference re-specializes the jitted kernels on the banked path.
+    b2: object = None
 
     @classmethod
     def from_plan(cls, p: SegPlan, p_lo: SegPlan | None = None) -> "DevSeg":
         import jax.numpy as jnp
 
         x2 = p_lo is not None
+        if x2 and p.b2 is not None:
+            raise ValueError("the two-bank segmented layout has no f32x2 "
+                             "engine — build the x2 plans with bank=False")
         _check_fits(p.nrows, p.ncols, x2=x2)
         chunk, ns = pick_geometry(p.vals.shape[0], p.pack, seg=True,
-                                  nrows=p.nrows, ncols=p.ncols, x2=x2)
+                                  nrows=p.nrows, ncols=p.ncols, x2=x2,
+                                  banked=p.b2 is not None)
         d = split_packed_arrays(
             {"vals": p.vals, "lo": p.lo, "hi": p.hi, "gidx": p.gidx,
-             "row_block": p.row_block, "sub_base": p.sub_base},
+             "b2": p.b2, "row_block": p.row_block, "sub_base": p.sub_base},
             chunk, ns, p.pack, seg=True, nrows=p.nrows)
         kva = seg_kva(p.pack, ns)
         vals_lo = ()
@@ -444,7 +458,8 @@ class DevSeg:
             sub_base=jnp.asarray(d["sub_base"]),
             chunk=chunk, ns=ns, pack=p.pack,
             w_rows=d["w_rows"], out_rows=d["out_rows"],
-            nrows=p.nrows, ncols=p.ncols, nnz=p.nnz, vals_lo=vals_lo)
+            nrows=p.nrows, ncols=p.ncols, nnz=p.nnz, vals_lo=vals_lo,
+            b2=(jnp.asarray(d["b2"]) if "b2" in d else None))
 
     @property
     def kva(self) -> int:
@@ -461,7 +476,8 @@ class DevSeg:
     @property
     def stream_bytes(self) -> int:
         arrs = (list(self.vals) + list(self.vals_lo) + list(self.lo)
-                + [self.hi, self.gidx, self.meta])
+                + [self.hi, self.gidx, self.meta]
+                + ([self.b2] if self.b2 is not None else []))
         return sum(int(np.prod(a.shape)) * a.dtype.itemsize for a in arrs)
 
     @property

@@ -127,6 +127,12 @@ class SegPlan:
     nnz: int
     chunk: int
     pack: int  # P — elements per quad slot
+    # two-bank layout (``formats.bank``): bits 4-6 = bank-1 stripe offset
+    # at the lane's table position, bits 0..P-1 = per-plane bank selector
+    # at the lane's slot position.  None = classic/pooled single-bank
+    # stream (``hi`` is then per-lane for pooled plans, uniform for
+    # classic ones — the kernels don't care).
+    b2: np.ndarray | None = None
 
     @property
     def padded_slots(self) -> int:
@@ -141,7 +147,8 @@ class SegPlan:
     def stream_bytes(self) -> int:
         """Exact HBM bytes of the plan streams per SpMV."""
         return (self.vals.nbytes + self.lo.nbytes + self.hi.nbytes
-                + self.gidx.nbytes)
+                + self.gidx.nbytes
+                + (self.b2.nbytes if self.b2 is not None else 0))
 
 
 def _emit_rows(subrow_blk: np.ndarray, subrow_stp: np.ndarray, S: int,
@@ -402,6 +409,7 @@ def build_seg_plan(
     dtype=np.float32,
     pack: int | None = None,
     pool: bool | None = None,
+    bank: bool | None = False,
 ) -> SegPlan:
     """Pack COO triplets (any order; duplicates sum in-kernel) into the
     P-packed stripe-pure segmented stream (see ``SegPlan``).
@@ -420,6 +428,14 @@ def build_seg_plan(
     quads on synthetic cant at P=4).  ``None`` prices both layouts and
     keeps the cheaper; when pooling is picked and ``pack`` was given, the
     caller's P wins (the dist layer unifies P across shards).
+
+    ``bank`` selects the TWO-bank pooled layout (``formats.bank``): each
+    sublane row carries two lane→stripe maps plus a per-element selector
+    plane, raising the conflict-bound row fill on scattered matrices.
+    ``None`` prices all three layouts; ``False`` (the default) restricts
+    the choice to classic/pooled — the banked stream needs the banked
+    kernel path, so callers that re-derive or unify layouts (f32x2, the
+    dist layer) pass ``False`` explicitly.
     """
     from spmv_tpu import cache as _cache
 
@@ -430,11 +446,36 @@ def build_seg_plan(
     if nnz == 0:
         return _empty_seg(nrows, ncols, chunk, pack or 1)
     hit = _cache.plan_lookup("seg5", rows, cols, vals, nrows, ncols,
-                             (chunk, pack or 0, pool), SegPlan)
+                             (chunk, pack or 0, pool, bool(bank) if bank
+                              is not None else None), SegPlan)
     if hit is not None:
         return hit
 
-    if pool is None or pool:
+    def _store(plan):
+        _cache.plan_store("seg5", rows, cols, vals, nrows, ncols,
+                          (chunk, pack or 0, pool, bool(bank) if bank
+                           is not None else None), plan)
+        return plan
+
+    if bank or (bank is None and pool is None):
+        from spmv_tpu.formats.bank import build_seg_plan_banked, price_layouts3
+
+        if bank:
+            layout, P_b = "bank", pack or 2
+        else:
+            layout, P_b = price_layouts3(rows, cols, nrows, ncols)
+        if layout == "bank":
+            return _store(build_seg_plan_banked(
+                rows, cols, vals, nrows, ncols, chunk=chunk, dtype=dtype,
+                pack=pack if pack is not None else P_b))
+        if layout == "pool":
+            from spmv_tpu.formats.pool import build_seg_plan_pooled
+
+            return _store(build_seg_plan_pooled(
+                rows, cols, vals, nrows, ncols, chunk=chunk, dtype=dtype,
+                pack=pack if pack is not None else P_b))
+        # layout == "classic": fall through to the classic walk below
+    elif pool is None or pool:
         from spmv_tpu.formats.pool import build_seg_plan_pooled, price_layouts
 
         if pool:
@@ -446,12 +487,9 @@ def build_seg_plan(
         else:
             use_pool, P_pool = price_layouts(rows, cols, nrows, ncols)
         if use_pool:
-            plan = build_seg_plan_pooled(
+            return _store(build_seg_plan_pooled(
                 rows, cols, vals, nrows, ncols, chunk=chunk, dtype=dtype,
-                pack=pack if pack is not None else P_pool)
-            _cache.plan_store("seg5", rows, cols, vals, nrows, ncols,
-                              (chunk, pack or 0, pool), plan)
-            return plan
+                pack=pack if pack is not None else P_pool))
 
     S = x_stripes(ncols)
 
@@ -538,9 +576,7 @@ def build_seg_plan(
         row_block=row_blk, sub_base=sub_base,
         nrows=nrows, ncols=ncols, nnz=nnz, chunk=chunk, pack=P,
     )
-    _cache.plan_store("seg5", rows, cols, vals, nrows, ncols,
-                      (chunk, pack or 0, pool), plan)
-    return plan
+    return _store(plan)
 
 
 def build_panel_plan(

@@ -54,6 +54,7 @@ class CMRSMatrix:
         chunk: int = DEFAULT_CHUNK,
         pack: int | None = None,
         pool: bool | None = None,
+        bank: bool | None = None,
     ) -> "CMRSMatrix":
         if LANES % height:
             raise ValueError(f"height must divide {LANES}")
@@ -71,7 +72,7 @@ class CMRSMatrix:
         ris = (rows_s % height).astype(np.int8)
         return cls.from_cmrs(
             nrows, ncols, strip_ptr, ris, cols_s, vals_s,
-            height=height, chunk=chunk, pack=pack, pool=pool,
+            height=height, chunk=chunk, pack=pack, pool=pool, bank=bank,
         )
 
     @classmethod
@@ -88,6 +89,7 @@ class CMRSMatrix:
         chunk: int = DEFAULT_CHUNK,
         pack: int | None = None,
         pool: bool | None = None,
+        bank: bool | None = None,
     ) -> "CMRSMatrix":
         """Build from the format's own arrays (the honest CMRS ingest path:
         reconstructs global rows = strip·height + ris and re-sorts within
@@ -101,7 +103,7 @@ class CMRSMatrix:
         order = np.lexsort((np.asarray(cols), rows))  # CSR order within strips
         plan = build_seg_plan(
             rows[order], np.asarray(cols)[order], np.asarray(vals)[order],
-            nrows, ncols, chunk=chunk, pack=pack, pool=pool,
+            nrows, ncols, chunk=chunk, pack=pack, pool=pool, bank=bank,
         )
         return cls(
             nrows=nrows, ncols=ncols, height=height,

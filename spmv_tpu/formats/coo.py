@@ -48,6 +48,7 @@ class COOMatrix:
         chunk: int = DEFAULT_CHUNK,
         pack: int | None = None,
         pool: bool | None = None,
+        bank: bool | None = None,
     ) -> "COOMatrix":
         rows = np.asarray(rows)
         cols = np.asarray(cols)
@@ -56,7 +57,7 @@ class COOMatrix:
         order = np.lexsort((cols, rows))
         plan = build_seg_plan(
             rows[order], cols[order], vals[order], nrows, ncols, chunk=chunk,
-            pack=pack, pool=pool,
+            pack=pack, pool=pool, bank=bank,
         )
         return cls(
             nrows=nrows,

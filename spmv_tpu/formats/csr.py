@@ -46,6 +46,7 @@ class CSRMatrix:
         chunk: int = DEFAULT_CHUNK,
         pack: int | None = None,
         pool: bool | None = None,
+        bank: bool | None = None,
     ) -> "CSRMatrix":
         rows = np.asarray(rows, dtype=np.int64)
         order = np.lexsort((cols, rows))
@@ -54,7 +55,7 @@ class CSRMatrix:
         np.add.at(ptr, rows_s + 1, 1)
         np.cumsum(ptr, out=ptr)
         return cls.from_csr(nrows, ncols, ptr, cols_s, vals_s, chunk=chunk,
-                            pack=pack, pool=pool)
+                            pack=pack, pool=pool, bank=bank)
 
     @classmethod
     def from_csr(
@@ -68,12 +69,13 @@ class CSRMatrix:
         chunk: int = DEFAULT_CHUNK,
         pack: int | None = None,
         pool: bool | None = None,
+        bank: bool | None = None,
     ) -> "CSRMatrix":
         ptr = np.asarray(ptr, dtype=np.int64)
         lengths = np.diff(ptr)
         rows = np.repeat(np.arange(nrows, dtype=np.int64), lengths)
         plan = build_seg_plan(rows, cols, vals, nrows, ncols, chunk=chunk,
-                              pack=pack, pool=pool)
+                              pack=pack, pool=pool, bank=bank)
         return cls(
             nrows=nrows, ncols=ncols, ptr=ptr,
             cols=np.asarray(cols, dtype=np.int32), vals=np.asarray(vals),

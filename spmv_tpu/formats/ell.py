@@ -91,7 +91,8 @@ class EllMatrix:
                                     chunk=chunk, pack=pack)
             if (~keep).any():
                 spill_plan = build_seg_plan(r[~keep], c[~keep], v[~keep],
-                                            nrows, ncols, chunk=chunk)
+                                            nrows, ncols, chunk=chunk,
+                                            bank=None)
                 dev_spill = DevSeg.from_plan(spill_plan)
             keep_nnz, spill_nnz = int(keep.sum()), int((~keep).sum())
         else:

@@ -78,8 +78,12 @@ class HybMatrix:
         dev_spill = None
         spill_plan = None
         if (~keep).any():
+            # bank=None: the spill sub-matrix auto-prices the two-bank
+            # layout (formats.bank) — on scattered matrices the spill IS
+            # the matrix and the banked stream wins the modeled time
             spill_plan = build_seg_plan(r[~keep], c[~keep], v[~keep],
-                                        nrows, ncols, chunk=chunk, pack=pack)
+                                        nrows, ncols, chunk=chunk, pack=pack,
+                                        bank=None)
             dev_spill = DevSeg.from_plan(spill_plan)
         return cls(
             nrows=nrows, ncols=ncols, nnz=nnz,

@@ -13,7 +13,8 @@ import subprocess
 
 import numpy as np
 
-__all__ = ["available", "emit_rows", "pack_run_slots", "pool_pack"]
+__all__ = ["available", "emit_rows", "pack_run_slots", "pool_pack",
+           "bank_pack"]
 
 _NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(
     os.path.dirname(os.path.abspath(__file__)))), "native")
@@ -46,7 +47,7 @@ def _load():
     try:
         lib = ctypes.CDLL(_SO)
         lib.spmv_plan_abi_version.restype = ctypes.c_int64
-        if lib.spmv_plan_abi_version() != 4:
+        if lib.spmv_plan_abi_version() != 5:
             return None
         lib.spmv_emit_rows.restype = ctypes.c_int64
         lib.spmv_emit_rows.argtypes = [
@@ -70,6 +71,23 @@ def _load():
             ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int64),
             ctypes.c_int64,
         ]
+        try:
+            lib.spmv_bank_pack.restype = ctypes.c_int64
+            lib.spmv_bank_pack.argtypes = [
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.c_int64, ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.POINTER(ctypes.c_uint8),
+                ctypes.POINTER(ctypes.c_uint8),
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.c_int64,
+            ]
+        except AttributeError:  # pragma: no cover — stale .so
+            pass
         _lib = lib
     except OSError:
         _lib = None
@@ -143,6 +161,46 @@ def pool_pack(pool_id: np.ndarray, lid: np.ndarray, stp: np.ndarray,
         )
         if r >= 0:
             return erow[:n], slot[:n], msb[:n], row_pool[:r]
+        cap = -r  # exact required capacity; one retry always suffices
+    return None  # pragma: no cover
+
+
+def bank_pack(pool_id: np.ndarray, lid: np.ndarray, stp: np.ndarray,
+              lo: np.ndarray, pack: int):
+    """Native two-bank drain-queue packing walk (see ``formats.bank`` for
+    the semantics and the NumPy fallback).  Elements must arrive sorted
+    by (pool, lid, stripe, col).  Returns ``(erow, slot, msb, bank,
+    row_pool)`` or None when the library is unavailable."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "spmv_bank_pack"):
+        return None
+    pid = np.ascontiguousarray(pool_id, dtype=np.int64)
+    lidv = np.ascontiguousarray(lid, dtype=np.int64)
+    stpv = np.ascontiguousarray(stp, dtype=np.int64)
+    lov = np.ascontiguousarray(lo, dtype=np.int64)
+    n = pid.size
+    erow = np.empty(max(n, 1), dtype=np.int64)
+    slot = np.empty(max(n, 1), dtype=np.int64)
+    msb = np.empty(max(n, 1), dtype=np.uint8)
+    bank = np.empty(max(n, 1), dtype=np.uint8)
+    cap = n + 1024
+    for _ in range(2):
+        row_pool = np.empty(cap, dtype=np.int64)
+        r = lib.spmv_bank_pack(
+            pid.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            lidv.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            stpv.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            lov.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            n, pack,
+            erow.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            slot.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            msb.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            bank.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            row_pool.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            cap,
+        )
+        if r >= 0:
+            return erow[:n], slot[:n], msb[:n], bank[:n], row_pool[:r]
         cap = -r  # exact required capacity; one retry always suffices
     return None  # pragma: no cover
 

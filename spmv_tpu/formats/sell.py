@@ -188,7 +188,8 @@ class SellMatrix:
                                     ncols, chunk=chunk, pack=pack)
             if (~keep).any():
                 spill_plan = build_seg_plan(r[~keep], c[~keep], v[~keep],
-                                            nrows_pad, ncols, chunk=chunk)
+                                            nrows_pad, ncols, chunk=chunk,
+                                            bank=None)
                 dev_spill = DevSeg.from_plan(spill_plan)
             keep_nnz, spill_nnz = int(keep.sum()), int((~keep).sum())
         else:

@@ -202,7 +202,7 @@ def _window_scatter(partials, base_w, ns: int, W: int, out_rows: int):
 
 def _packed_products(k: int, ns: int, chunk: int, pack: int, kva: int,
                      vals_refs, lo_refs, hi_refs, x_ref, sub_base_ref, g0,
-                     seg: bool = False):
+                     seg: bool = False, b2_refs=None):
     """p = Σ_planes vals_p · x[col_p] for one (chunk,128) sub-chunk: one
     shared x-window gather (hi uniform per sublane row) + P lane gathers
     combined on the VPU.
@@ -212,21 +212,41 @@ def _packed_products(k: int, ns: int, chunk: int, pack: int, kva: int,
     segments pack densely (at most one segment boundary per quad slot) and
     the MSB of ``lo`` marks planes belonging to the *next* segment, so the
     prefix difference runs on ``d = cs − c2`` (zero extra stream bytes —
-    the flag rides the spare bit of the u8 in-stripe column)."""
+    the flag rides the spare bit of the u8 in-stripe column).
+
+    Two-bank streams (``b2_refs`` set — ``formats.bank``): a second
+    per-lane stripe map rides bits 4-6 of the ``b2`` plane; each plane's
+    selector bit (bit p, at the element's slot position) picks which
+    bank's gathered x feeds the product.  Cost: one extra sublane gather
+    per subtile + one lane gather and select per plane."""
     hi_c = _chunk_slice(hi_refs, k, ns, chunk).astype(jnp.int32)
+    banked = b2_refs is not None
+    if banked:
+        b2_c = _chunk_slice(b2_refs, k, ns, chunk).astype(jnp.int32)
+        hi2_c = (b2_c >> 4) & (SUBLANES - 1)
     ts = []
+    ts2 = []
     for s in range(chunk // SUBLANES):
         w = x_ref[pl.ds(sub_base_ref[g0 + s], SUBLANES), :]
         ts.append(jnp.take_along_axis(
             w, hi_c[s * SUBLANES:(s + 1) * SUBLANES, :], axis=0))
+        if banked:
+            ts2.append(jnp.take_along_axis(
+                w, hi2_c[s * SUBLANES:(s + 1) * SUBLANES, :], axis=0))
     T = jnp.concatenate(ts, axis=0)  # (chunk,128) per-row x windows
+    T2 = jnp.concatenate(ts2, axis=0) if banked else None
     p = jnp.zeros((chunk, LANES), jnp.float32)
     c2 = jnp.zeros((chunk, LANES), jnp.float32) if seg else None
     for pp in range(pack):
         lo_c = _chunk_slice((lo_refs[pp],), k, ns, chunk).astype(jnp.int32)
         v_c = _chunk_slice(vals_refs[pp * kva:(pp + 1) * kva], k, ns, chunk)
         if seg:
-            t = v_c * jnp.take_along_axis(T, lo_c & (LANES - 1), axis=1)
+            lol = lo_c & (LANES - 1)
+            xg = jnp.take_along_axis(T, lol, axis=1)
+            if banked:
+                xg2 = jnp.take_along_axis(T2, lol, axis=1)
+                xg = jnp.where(((b2_c >> pp) & 1) == 1, xg2, xg)
+            t = v_c * xg
             p = p + t
             c2 = c2 + jnp.where(lo_c >= LANES, t, 0.0)
         else:
@@ -354,7 +374,7 @@ def panel_spmv_fused(dev, x2d):
 
 def _seg_pieces(k: int, ns: int, chunk: int, pack: int, kva: int,
                 vals_refs, lo_refs, hi_refs, gidx_refs, x_ref,
-                sub_base_ref, g0, U):
+                sub_base_ref, g0, U, b2_refs=None):
     """One sub-chunk's per-(row,lane) segment sums — the segmented
     engine's compute path, shared by the streamed-partials and fused-RMW
     variants."""
@@ -362,7 +382,7 @@ def _seg_pieces(k: int, ns: int, chunk: int, pack: int, kva: int,
     # amortizes the MXU prefix and the index bytes over P elements.
     p, c2 = _packed_products(k, ns, chunk, pack, kva, vals_refs,
                              lo_refs, hi_refs, x_ref, sub_base_ref, g0,
-                             seg=True)
+                             seg=True, b2_refs=b2_refs)
     cs = _split_dot(p, U)  # inclusive lane prefix on the MXU
     # d[q] = everything through the portion of quad q belonging to the
     # segment ending in q (c2 subtracts the next segment's head) — the
@@ -379,20 +399,22 @@ def _seg_pieces(k: int, ns: int, chunk: int, pack: int, kva: int,
     return _lane_shift_diff(t)
 
 
-def _seg_refs(pack: int, kva: int, refs):
+def _seg_refs(pack: int, kva: int, refs, banked: bool = False):
     nv = pack * kva
+    nb = 1 if banked else 0
     return (refs[:nv],  # vals, plane-major: plane pp is [pp*kva,(pp+1)*kva)
             refs[nv : nv + pack],  # lo
             refs[nv + pack : nv + pack + 1],  # hi
-            refs[nv + pack + 1 : nv + pack + 2],  # gidx
-            refs[nv + pack + 2],  # meta
+            refs[nv + pack + 1 : nv + pack + 1 + nb] or None,  # b2 (banked)
+            refs[nv + pack + 1 + nb : nv + pack + 2 + nb],  # gidx
+            refs[nv + pack + 2 + nb],  # meta
             refs[-2], refs[-1])  # x table, output
 
 
 def _seg_kernel(chunk: int, ns: int, kva: int, pack: int, W: int,
-                sub_base_ref, *refs):
-    (vals_refs, lo_refs, hi_refs, gidx_refs, meta_ref,
-     x_ref, op_ref) = _seg_refs(pack, kva, refs)
+                banked: bool, sub_base_ref, *refs):
+    (vals_refs, lo_refs, hi_refs, b2_refs, gidx_refs, meta_ref,
+     x_ref, op_ref) = _seg_refs(pack, kva, refs, banked)
     step = pl.program_id(0)
 
     U = _triu_ones().astype(jnp.bfloat16)
@@ -400,14 +422,15 @@ def _seg_kernel(chunk: int, ns: int, kva: int, pack: int, W: int,
     for k in range(ns):
         g0 = step * (ns * nsub) + k * nsub
         pieces = _seg_pieces(k, ns, chunk, pack, kva, vals_refs, lo_refs,
-                             hi_refs, gidx_refs, x_ref, sub_base_ref, g0, U)
+                             hi_refs, gidx_refs, x_ref, sub_base_ref, g0, U,
+                             b2_refs=b2_refs)
         _window_partial(op_ref, pieces, meta_ref, k, ns, chunk, W)
 
 
 def _seg_kernel_fused(chunk: int, ns: int, kva: int, pack: int, W: int,
-                      base_ref, sub_base_ref, *refs):
-    (vals_refs, lo_refs, hi_refs, gidx_refs, meta_ref,
-     x_ref, o_ref) = _seg_refs(pack, kva, refs)
+                      banked: bool, base_ref, sub_base_ref, *refs):
+    (vals_refs, lo_refs, hi_refs, b2_refs, gidx_refs, meta_ref,
+     x_ref, o_ref) = _seg_refs(pack, kva, refs, banked)
     step = pl.program_id(0)
 
     @pl.when(step == 0)
@@ -419,17 +442,18 @@ def _seg_kernel_fused(chunk: int, ns: int, kva: int, pack: int, W: int,
     for k in range(ns):
         g0 = step * (ns * nsub) + k * nsub
         pieces = _seg_pieces(k, ns, chunk, pack, kva, vals_refs, lo_refs,
-                             hi_refs, gidx_refs, x_ref, sub_base_ref, g0, U)
+                             hi_refs, gidx_refs, x_ref, sub_base_ref, g0, U,
+                             b2_refs=b2_refs)
         _window_accumulate(o_ref, pieces, meta_ref, base_ref, k, ns, chunk,
                            W)
 
 
-def _seg_in_specs(chunk, ns, kva, pack):
+def _seg_in_specs(chunk, ns, kva, pack, banked: bool = False):
     return (
         [pl.BlockSpec((chunk * ns // kva, LANES), lambda i, *_: (i, 0),
                       memory_space=pltpu.VMEM)] * (pack * kva)
         + [pl.BlockSpec((chunk * ns, LANES), lambda i, *_: (i, 0),
-                        memory_space=pltpu.VMEM)] * (pack + 2)
+                        memory_space=pltpu.VMEM)] * (pack + 2 + int(banked))
         + [pl.BlockSpec((round_up(ns, SUBLANES), LANES),
                         lambda i, *_: (i, 0), memory_space=pltpu.VMEM)]
         + [pl.BlockSpec(memory_space=pltpu.VMEM)]  # x table, resident
@@ -459,22 +483,25 @@ def segmented_spmv_partials(dev, x2d):
     kernel; ``_window_scatter`` folds them into y (DESIGN.md fact 9)."""
     chunk, ns, kva, pack = dev.chunk, dev.ns, dev.kva, dev.pack
     W = dev.w_rows
+    banked = dev.b2 is not None
+    b2 = (dev.b2,) if banked else ()
     TM = dev.vals[0].shape[0] * kva
     nsteps = TM // (chunk * ns)
-    kernel = functools.partial(_seg_kernel, chunk, ns, kva, pack, W)
+    kernel = functools.partial(_seg_kernel, chunk, ns, kva, pack, W, banked)
     partials = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(nsteps,),
-            in_specs=_seg_in_specs(chunk, ns, kva, pack),
+            in_specs=_seg_in_specs(chunk, ns, kva, pack, banked),
             out_specs=pl.BlockSpec((ns * W, LANES), lambda i, *_: (i, 0),
                                    memory_space=pltpu.VMEM),
         ),
         out_shape=jax.ShapeDtypeStruct((nsteps * ns * W, LANES),
                                        jnp.float32),
         interpret=_interpret(),
-    )(dev.sub_base, *dev.vals, *dev.lo, dev.hi, dev.gidx, dev.meta, x2d)
+    )(dev.sub_base, *dev.vals, *dev.lo, dev.hi, *b2, dev.gidx, dev.meta,
+      x2d)
     return _window_scatter(partials, dev.base_w, ns, W, dev.out_rows)
 
 
@@ -484,20 +511,23 @@ def segmented_spmv_fused(dev, x2d):
     the VMEM-resident y (no partials round-trip, no epilogue kernel)."""
     chunk, ns, kva, pack = dev.chunk, dev.ns, dev.kva, dev.pack
     W = dev.w_rows
+    banked = dev.b2 is not None
+    b2 = (dev.b2,) if banked else ()
     TM = dev.vals[0].shape[0] * kva
     nsteps = TM // (chunk * ns)
-    kernel = functools.partial(_seg_kernel_fused, chunk, ns, kva, pack, W)
+    kernel = functools.partial(_seg_kernel_fused, chunk, ns, kva, pack, W,
+                               banked)
     return pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=(nsteps,),
-            in_specs=_seg_in_specs(chunk, ns, kva, pack),
+            in_specs=_seg_in_specs(chunk, ns, kva, pack, banked),
             out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         ),
         out_shape=jax.ShapeDtypeStruct((dev.out_rows, LANES), jnp.float32),
         interpret=_interpret(),
-    )(dev.base_w, dev.sub_base, *dev.vals, *dev.lo, dev.hi, dev.gidx,
+    )(dev.base_w, dev.sub_base, *dev.vals, *dev.lo, dev.hi, *b2, dev.gidx,
       dev.meta, x2d)
 
 
@@ -539,9 +569,9 @@ def _window_scatter_multi(partials, base_w, ns: int, W: int, rhs: int,
 
 
 def _seg_kernel_multi(chunk: int, ns: int, kva: int, pack: int, W: int,
-                      rhs: int, xS: int, sub_base_ref, *refs):
-    (vals_refs, lo_refs, hi_refs, gidx_refs, meta_ref,
-     x_ref, op_ref) = _seg_refs(pack, kva, refs)
+                      rhs: int, xS: int, banked: bool, sub_base_ref, *refs):
+    (vals_refs, lo_refs, hi_refs, b2_refs, gidx_refs, meta_ref,
+     x_ref, op_ref) = _seg_refs(pack, kva, refs, banked)
     step = pl.program_id(0)
 
     U = _triu_ones().astype(jnp.bfloat16)
@@ -550,6 +580,9 @@ def _seg_kernel_multi(chunk: int, ns: int, kva: int, pack: int, W: int,
         g0 = step * (ns * nsub) + k * nsub
         # plan streams sliced ONCE per sub-chunk, shared by all R vectors
         hi_c = _chunk_slice(hi_refs, k, ns, chunk).astype(jnp.int32)
+        if banked:
+            b2_c = _chunk_slice(b2_refs, k, ns, chunk).astype(jnp.int32)
+            hi2_c = (b2_c >> 4) & (SUBLANES - 1)
         gi = _chunk_slice(gidx_refs, k, ns, chunk).astype(jnp.int32)
         los = [_chunk_slice((lo_refs[pp],), k, ns, chunk).astype(jnp.int32)
                for pp in range(pack)]
@@ -558,16 +591,26 @@ def _seg_kernel_multi(chunk: int, ns: int, kva: int, pack: int, W: int,
         Rw = _window_rw(meta_ref, k, chunk, W)
         for r in range(rhs):
             ts = []
+            ts2 = []
             for s in range(nsub):
                 w = x_ref[pl.ds(r * xS + sub_base_ref[g0 + s], SUBLANES), :]
                 ts.append(jnp.take_along_axis(
                     w, hi_c[s * SUBLANES:(s + 1) * SUBLANES, :], axis=0))
+                if banked:
+                    ts2.append(jnp.take_along_axis(
+                        w, hi2_c[s * SUBLANES:(s + 1) * SUBLANES, :],
+                        axis=0))
             T = jnp.concatenate(ts, axis=0)
+            T2 = jnp.concatenate(ts2, axis=0) if banked else None
             p = jnp.zeros((chunk, LANES), jnp.float32)
             c2 = jnp.zeros((chunk, LANES), jnp.float32)
             for pp in range(pack):
-                t = vs[pp] * jnp.take_along_axis(T, los[pp] & (LANES - 1),
-                                                 axis=1)
+                lol = los[pp] & (LANES - 1)
+                xg = jnp.take_along_axis(T, lol, axis=1)
+                if banked:
+                    xg2 = jnp.take_along_axis(T2, lol, axis=1)
+                    xg = jnp.where(((b2_c >> pp) & 1) == 1, xg2, xg)
+                t = vs[pp] * xg
                 p = p + t
                 c2 = c2 + jnp.where(los[pp] >= LANES, t, 0.0)
             d = _split_dot(p, U) - c2
@@ -616,17 +659,19 @@ def segmented_spmv_multi(dev, x2d, rhs: int):
     the plan DMA amortizes over R while the per-vector VPU work stays."""
     chunk, ns, kva, pack = dev.chunk, dev.ns, dev.kva, dev.pack
     W = dev.w_rows
+    banked = dev.b2 is not None
+    b2 = (dev.b2,) if banked else ()
     TM = dev.vals[0].shape[0] * kva
     nsteps = TM // (chunk * ns)
     xS = x2d.shape[0] // rhs
     kernel = functools.partial(_seg_kernel_multi, chunk, ns, kva, pack, W,
-                               rhs, xS)
+                               rhs, xS, banked)
     partials = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(nsteps,),
-            in_specs=_seg_in_specs(chunk, ns, kva, pack),
+            in_specs=_seg_in_specs(chunk, ns, kva, pack, banked),
             out_specs=pl.BlockSpec((ns * rhs * W, LANES),
                                    lambda i, *_: (i, 0),
                                    memory_space=pltpu.VMEM),
@@ -634,7 +679,8 @@ def segmented_spmv_multi(dev, x2d, rhs: int):
         out_shape=jax.ShapeDtypeStruct((nsteps * ns * rhs * W, LANES),
                                        jnp.float32),
         interpret=_interpret(),
-    )(dev.sub_base, *dev.vals, *dev.lo, dev.hi, dev.gidx, dev.meta, x2d)
+    )(dev.sub_base, *dev.vals, *dev.lo, dev.hi, *b2, dev.gidx, dev.meta,
+      x2d)
     return _window_scatter_multi(partials, dev.base_w, ns, W, rhs,
                                  dev.out_rows)
 
