@@ -57,6 +57,10 @@ class RingShardedSpmv:
 
         from spmv_tpu.formats.base import panel_pack_for, seg_pack_for
 
+        # shard plans unify into one stacked stream layout; the two-bank
+        # layout (formats.bank) has no unified path — force it off
+        if format in ("csr", "coo", "cmrs", "hyb"):
+            fmt_kwargs = dict(fmt_kwargs, bank=False)
         if format in ("csr", "coo", "cmrs") and "pack" not in fmt_kwargs:
             fmt_kwargs = dict(fmt_kwargs,
                               pack=seg_pack_for(rows, cols, nrows, ncols))

@@ -101,6 +101,11 @@ def _unify_plans(plans, plans_lo=None):
     only on the sparsity pattern — ``spmv_tpu.x2``); their value planes
     split with the same geometry into ``vlo{j}`` arrays."""
     is_seg = hasattr(plans[0], "gidx")
+    # the two-bank layout's b2 plane has no unified/stacked path — a
+    # banked shard plan would silently gather from an incomplete lane
+    # map after stacking (callers pass bank=False to the shard builds)
+    assert not any(getattr(p, "b2", None) is not None for p in plans), \
+        "banked shard plan reached _unify_plans; build shards with bank=False"
     packs = {p.pack for p in plans}
     assert len(packs) == 1, f"shards disagree on pack: {packs}"
     pack = plans[0].pack
@@ -279,6 +284,11 @@ class RowShardedSpmv:
 
         # Every shard must build with the same packed-engine P — choose it
         # once from the full matrix's segment/width histograms.
+        # shard plans unify into one stacked stream layout; the two-bank
+        # layout (formats.bank) has no unified path — force it off so a
+        # scattered shard cannot price a b2 plane the stacker would drop
+        if format in ("csr", "coo", "cmrs", "hyb"):
+            fmt_kwargs = dict(fmt_kwargs, bank=False)
         if format in ("csr", "coo", "cmrs") and "pack" not in fmt_kwargs:
             fmt_kwargs = dict(fmt_kwargs,
                               pack=seg_pack_for(rows, cols, nrows, ncols))
@@ -780,6 +790,11 @@ class ColShardedSpmv:
         cols = np.asarray(cols, dtype=np.int64)
         vals = np.asarray(vals, dtype=np.float64 if self.x2 else None)
 
+        # shard plans unify into one stacked stream layout; the two-bank
+        # layout (formats.bank) has no unified path — force it off so a
+        # scattered shard cannot price a b2 plane the stacker would drop
+        if format in ("csr", "coo", "cmrs", "hyb"):
+            fmt_kwargs = dict(fmt_kwargs, bank=False)
         if format in ("csr", "coo", "cmrs") and "pack" not in fmt_kwargs:
             fmt_kwargs = dict(fmt_kwargs,
                               pack=seg_pack_for(rows, cols, nrows, ncols))

@@ -59,6 +59,7 @@ class HybMatrix:
         chunk: int = DEFAULT_CHUNK,
         pack: int | None = None,
         panel_pack: int | None = None,
+        bank: bool | None = None,
     ) -> "HybMatrix":
         rows = np.asarray(rows, dtype=np.int64)
         cols = np.asarray(cols, dtype=np.int64)
@@ -83,7 +84,7 @@ class HybMatrix:
             # the matrix and the banked stream wins the modeled time
             spill_plan = build_seg_plan(r[~keep], c[~keep], v[~keep],
                                         nrows, ncols, chunk=chunk, pack=pack,
-                                        bank=None)
+                                        bank=bank)
             dev_spill = DevSeg.from_plan(spill_plan)
         return cls(
             nrows=nrows, ncols=ncols, nnz=nnz,
